@@ -1,0 +1,161 @@
+"""Command-line interface.
+
+``process`` mirrors the reference standalone CLI exactly
+(``maverick-standalone.exe <raw> <out.bmp>``, test/standalone/main.cpp):
+3072^2 raw with 256-byte header, loaded transposed, margin-10-cropped 8-bit
+BMP out, optional intermediate dump (the debug build's debugProcess).
+
+Additional subcommands expose the wider framework: batch processing over a
+directory, the metamorphic campaign, and the analysis tools.
+
+Usage:
+    python -m metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.cli process in.raw out.bmp
+    python -m ...cli process --size 3072 --debug-dump dbg/ in.raw out.bmp
+    python -m ...cli batch --size 3072 'raws/*.raw' outdir/
+    python -m ...cli campaign --size 1024 --out-dir out/
+    python -m ...cli slope-analysis results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--size", type=int, default=3072,
+                   help="square image size (reference standalone: 3072)")
+    p.add_argument("--no-transpose", action="store_true",
+                   help="skip the reference CLI's transposed raw load")
+    p.add_argument("--no-quirks", action="store_true",
+                   help="clean math instead of bit-faithful GPU quirks")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (cpu/tpu)")
+
+
+def cmd_process(args) -> int:
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import numpy as np
+    import jax.numpy as jnp
+    from .config import MusicaConfig
+    from .models import musica
+    from .utils import io as uio
+    from .utils.debug import dump_intermediates
+
+    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks)
+    raw = uio.load_raw(args.input, args.size, transpose=not args.no_transpose)
+    t0 = time.perf_counter()
+    if args.debug_dump:
+        import jax
+        fwd = jax.jit(
+            lambda im: musica.musica_forward(im, cfg, want_intermediates=True),
+            static_argnums=())
+        res = fwd(jnp.asarray(raw))
+        out = np.asarray(res["out_u8"])
+        inter = {k: v for k, v in res["intermediates"].items()}
+        dump_intermediates({k: np.asarray(v) for k, v in inter.items()
+                            if not isinstance(v, tuple)}, args.debug_dump)
+    else:
+        out = musica.process(raw, cfg)
+    dt = time.perf_counter() - t0
+    uio.save_bmp8(args.output, out)
+    mpix = args.size * args.size / 1e6
+    print(f"processed {args.input} ({args.size}^2, {mpix:.1f} MPix) "
+          f"in {dt * 1e3:.1f} ms (incl. compile) -> {args.output}")
+    return 0
+
+
+def cmd_batch(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    from .config import MusicaConfig
+    from .models import musica
+    from .utils import io as uio
+
+    files = sorted(glob.glob(args.pattern))
+    if not files:
+        print(f"no files match {args.pattern}", file=sys.stderr)
+        return 1
+    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks)
+    import os
+    os.makedirs(args.out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    for f in files:
+        raw = uio.load_raw(f, args.size, transpose=not args.no_transpose)
+        out = musica.process(raw, cfg)
+        name = os.path.splitext(os.path.basename(f))[0] + ".bmp"
+        uio.save_bmp8(os.path.join(args.out_dir, name), out)
+    dt = time.perf_counter() - t0
+    print(f"{len(files)} images in {dt:.2f}s "
+          f"({len(files) * args.size ** 2 / dt / 1e9:.3f} GPix/s incl. IO+compile)")
+    return 0
+
+
+def cmd_campaign(args) -> int:
+    from .testing.campaign import run_campaign
+    run_campaign(out_dir=args.out_dir, image_size=args.size,
+                 anatomies=args.anatomies.split(",") if args.anatomies else None)
+    return 0
+
+
+def cmd_slope(args) -> int:
+    from .testing.analysis import slope_analysis_file
+    for line in slope_analysis_file(args.csv, out_file=args.out):
+        print(line)
+    return 0
+
+
+def cmd_mean_cnr(args) -> int:
+    from .testing.analysis import mean_cnr_dir
+    for name, val in mean_cnr_dir(args.in_dir, out_file=args.out):
+        print(f"{name} \t {val}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="musica-tpu",
+                                 description="TPU-native MUSICA pipeline")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("process", help="raw in -> processed BMP out")
+    _add_common(p)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--debug-dump", default=None,
+                   help="directory for intermediate-image BMPs (debugProcess)")
+    p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("batch", help="process a glob of raw files")
+    _add_common(p)
+    p.add_argument("pattern")
+    p.add_argument("out_dir")
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("campaign", help="run the metamorphic-testing campaign")
+    _add_common(p)
+    p.add_argument("--out-dir", default="mt_out")
+    p.add_argument("--anatomies", default=None,
+                   help="comma-separated subset of foot,hand,head,knee,pelvis,thorax")
+    p.set_defaults(fn=cmd_campaign)
+
+    p = sub.add_parser("slope-analysis",
+                       help="per-alteration linear-regression slope test")
+    p.add_argument("csv")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_slope)
+
+    p = sub.add_parser("mean-cnr", help="mean CNR of debug BMPs in a directory")
+    p.add_argument("in_dir")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_mean_cnr)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -258,7 +258,7 @@ def contrast_curve_generate(max_bin: int, low_contrast_factor: float,
     if lcf == 1.0:
         pts = [(F(0.0), hcf), (F(1.0), hcf)]
     else:
-        p = F(max_bin * (1.0 / cfg.noise_histogram_bins) * cfg.max_noise_value)
+        p = F(F(F(max_bin) * F(1.0 / cfg.noise_histogram_bins)) * F(cfg.max_noise_value))
         pts += _bezier_points((F(0.0), F(1.0)), (p * 4 / 5, lcf), (p, lcf), 10, True)
         pts += _bezier_points((p, lcf), (p * 6 / 5, lcf), (p * 7 / 5, lcf * 4 / 5), 10, True)
         pts += _bezier_points((p * 7 / 5, lcf * 4 / 5), (p * 2, F(1.0)), (F(1.0), F(1.0)), 10, True)
@@ -309,9 +309,10 @@ def contrast_curve_apply(bandpass: np.ndarray, sdev: np.ndarray,
 def img_cnr(sdev: np.ndarray, max_bin: int, cfg: MusicaConfig) -> np.ndarray:
     """cnr = sdev / referenceNoiseLevel, stored / 256
     (shaders/img_cnr.comp:23-44); reference level clipped to >= 1 bin."""
-    ref = F(max_bin * (1.0 / cfg.noise_histogram_bins) * cfg.max_noise_value)
+    # stepwise f32 rounding: (maxBin * (1/2048)) * 0.1
+    ref = F(F(F(max_bin) * F(1.0 / cfg.noise_histogram_bins)) * F(cfg.max_noise_value))
     if ref == 0.0:
-        ref = F((1.0 / cfg.noise_histogram_bins) * cfg.max_noise_value)
+        ref = F(F(1.0 / cfg.noise_histogram_bins) * F(cfg.max_noise_value))
     return (sdev / ref / F(cfg.max_cnr_value)).astype(F)
 
 

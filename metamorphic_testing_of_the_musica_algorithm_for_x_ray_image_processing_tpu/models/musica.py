@@ -1,0 +1,173 @@
+"""The MUSICA pipeline as one pure, jit-compiled JAX function.
+
+The reference drives ~100 ``VulkanCompute`` pipeline objects through a
+binary-semaphore DAG (``VulkanProcessing::execute``,
+src/vk_processing.cpp:2104-2601).  Here the whole forward pass is a single
+traced function over statically-shaped pyramid levels; XLA performs the
+scheduling, fusion and memory planning that the semaphores and ~60
+intermediate Vulkan images did.
+
+Phase map (reference -> here):
+  2. normalize        -> ops.normalize (sqrt + quirk-exact global max/min)
+  3. pyramid reduce   -> ops.pyramid (fused smooth+decimate; zero-stuff+smooth*4)
+  4. image analysis   -> ops.stats (sdev, noise histogram, argmax) + ops.curves
+  5. apply            -> ops.curves (contrast gain), ops.noise (CNR, NR)
+  6. pyramid expand   -> ops.pyramid
+  7. gradation        -> ops.noise (relevance) + ops.gradation
+  output              -> margin crop + x255 truncating u8 cast
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MusicaConfig
+from ..ops import curves, gradation, noise, normalize, pyramid, stats
+
+F32 = jnp.float32
+
+
+def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
+                   hist_method: str = "onehot",
+                   want_intermediates: bool = False):
+    """Full MUSICA pass on one [n, n] uint16 image -> dict of outputs.
+
+    Returns at least ``graded`` ([n, n] f32 in [0, 1]) and ``out_u8``
+    (margin-cropped uint8).  With ``want_intermediates`` also every stage
+    image (the equivalent of the reference's debugProcess dump surface,
+    src/vk_processing.cpp:2661-2809).
+    """
+    L = cfg.pyramid_levels
+    inter: Dict[str, object] = {}
+
+    # ---- phase 2: normalize -------------------------------------------------
+    s = normalize.img_sqrt(img_u16)
+    vmax = normalize.global_max(s, cfg.quirks)
+    vmin = normalize.global_min(s, cfg.quirks)
+    normalized = normalize.img_normalize(s, vmax, vmin, cfg.quirks)
+
+    # ---- phase 3: pyramid reduce -------------------------------------------
+    bandpass = []
+    downs = []
+    cur = normalized
+    for i in range(L):
+        dn = pyramid.smooth_downsample(cur)
+        low = pyramid.upsample_smooth(dn, cur.shape[-1])
+        bandpass.append(cur - low)
+        downs.append(dn)
+        cur = dn
+
+    # ---- phase 4: analysis --------------------------------------------------
+    sdevs: Dict[int, jnp.ndarray] = {}
+    max_bins: Dict[int, jnp.ndarray] = {}
+    for i in cfg.analysis_levels:
+        sd = stats.img_sdev(bandpass[i])
+        sdevs[i] = sd
+        h = stats.noise_histogram(sd, cfg, hist_method)
+        _, mb = stats.histogram_max(h)
+        max_bins[i] = mb
+        if want_intermediates:
+            inter[f"noise_hist_{i}"] = h
+
+    curve_list = []
+    for i in range(L):
+        lcf, hcf = cfg.contrast_factors[i]
+        mb = max_bins.get(i, jnp.zeros((), jnp.int32))
+        curve_list.append(curves.contrast_curve(mb, lcf, hcf, cfg))
+
+    # ---- phase 5: apply -----------------------------------------------------
+    cnr = noise.img_cnr(sdevs[cfg.cnr_level], max_bins[cfg.cnr_level], cfg)
+
+    exp_bandpass = []
+    for i in range(L):
+        px, py = curve_list[i]
+        if i in sdevs:
+            eb = curves.contrast_curve_apply(bandpass[i], sdevs[i], px, py)
+        else:
+            # sdev is never computed for these levels in the reference (the
+            # shader reads stale memory); the flat 2-point curve gives a
+            # constant hcf gain for any sdev in [0, 1].
+            eb = bandpass[i] * jnp.float32(cfg.contrast_factors[i][1])
+        exp_bandpass.append(eb)
+
+    nr_bandpass: Dict[int, jnp.ndarray] = {}
+    for lvl in range(cfg.cnr_level):
+        lo_c, lo_f, hi_c, hi_f = cfg.noise_reduction_params[lvl]
+        nr_bandpass[lvl] = noise.noise_reduction(
+            exp_bandpass[lvl], cnr, lo_c, lo_f, hi_c, hi_f, cfg)
+
+    # ---- phase 6: pyramid expand -------------------------------------------
+    # Only levels < cnr_level - 1 consume the noise-reduced bandpass
+    # (src/vk_processing.cpp:1043-1049); level cnr_level-1's NR image is
+    # computed but unused, mirrored here for the debug surface only.
+    recon = downs[L - 1]
+    for i in range(L):
+        lvl = L - 1 - i
+        low = pyramid.upsample_smooth(recon, bandpass[lvl].shape[-1])
+        band = nr_bandpass[lvl] if lvl < cfg.cnr_level - 1 else exp_bandpass[lvl]
+        recon = low + band
+        if want_intermediates:
+            inter[f"exp_lowpass_{i}"] = low
+
+    # ---- phase 7: gradation -------------------------------------------------
+    relevant = noise.img_relevant(normalized, cnr, cfg)
+    ghist = gradation.gradation_histogram(recon, relevant, cfg, hist_method)
+    gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
+    graded = curves.curve_get_y(gpx, gpy, recon)
+
+    m = cfg.out_margin
+    out_u8 = jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
+                      0.0, 255.0).astype(jnp.uint8)
+
+    result = {"graded": graded, "out_u8": out_u8, "recon": recon, "cnr": cnr}
+    if want_intermediates:
+        inter.update({
+            "normalized": normalized,
+            "relevant": relevant,
+            "grad_hist": ghist,
+            "grad_curve": (gpx, gpy, tvals),
+            "sqrt_max": vmax, "sqrt_min": vmin,
+        })
+        for i, b in enumerate(bandpass):
+            inter[f"red_bandpass_{i}"] = b
+        for i, d in enumerate(downs):
+            inter[f"downsampled_{i}"] = d
+        for i, sd in sdevs.items():
+            inter[f"sdev_{i}"] = sd
+        for i, mb in max_bins.items():
+            inter[f"noise_max_bin_{i}"] = mb
+        for i, eb in enumerate(exp_bandpass):
+            inter[f"contrast_bandpass_{i}"] = eb
+        for lvl, nb in nr_bandpass.items():
+            inter[f"nr_bandpass_{lvl}"] = nb
+        for i, (px, py) in enumerate(curve_list):
+            inter[f"contrast_curve_{i}"] = (px, py)
+        result["intermediates"] = inter
+    return result
+
+
+@partial(jax.jit, static_argnames=("cfg", "hist_method"))
+def process_jit(img_u16: jnp.ndarray, cfg: MusicaConfig,
+                hist_method: str = "onehot") -> jnp.ndarray:
+    """jit entry: one image in, cropped uint8 out."""
+    return musica_forward(img_u16, cfg, hist_method)["out_u8"]
+
+
+@partial(jax.jit, static_argnames=("cfg", "hist_method"))
+def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
+                      hist_method: str = "onehot") -> jnp.ndarray:
+    """vmapped batch entry: [B, n, n] uint16 -> [B, n-2m, n-2m] uint8."""
+    return jax.vmap(lambda im: musica_forward(im, cfg, hist_method)["out_u8"])(imgs_u16)
+
+
+def process(img_u16, cfg: Optional[MusicaConfig] = None,
+            hist_method: str = "onehot"):
+    """Convenience host API mirroring the golden model's signature."""
+    import numpy as np
+    img = jnp.asarray(np.asarray(img_u16))
+    cfg = cfg or MusicaConfig(image_size=img.shape[-1])
+    return np.asarray(process_jit(img, cfg, hist_method))

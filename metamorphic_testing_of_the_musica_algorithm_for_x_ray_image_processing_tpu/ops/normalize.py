@@ -1,0 +1,63 @@
+"""Input normalization: sqrt transform + global max/min + rescale.
+
+The reference's 8x8 max/min reduce ladders (shaders/img_max_reduce.comp,
+min_reduce.comp; chain wiring src/vk_processing.cpp:2189-2211) are a GPU
+artifact -- on TPU a global reduce is one XLA reduction.  In quirks mode we
+still reproduce their two numerical artifacts exactly:
+
+* every reduce step stores through ``uvec4(value)`` -- a float -> uint
+  truncation (shaders/img_max_reduce.comp:52);
+* out-of-bounds ``imageLoad`` returns 0, and the ceil(n/8) chain misaligns
+  for most sizes (3072 -> 384 -> 48 -> 6 -> 1 reads an 8x8 window from a 6x6
+  image), so the min chain absorbs zeros: the effective global min is 0.
+
+Rather than hand-deriving the cases, quirks mode simply evaluates the chain
+(a handful of tiny reshapes; the first step fuses with the sqrt).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def img_sqrt(img_u16: jnp.ndarray) -> jnp.ndarray:
+    """Variance-stabilizing sqrt (shaders/img_sqrt.comp:15-18)."""
+    return jnp.sqrt(img_u16.astype(jnp.float32))
+
+
+def _reduce_chain(img: jnp.ndarray, mode: str, area: int = 8) -> jnp.ndarray:
+    h, w = img.shape[-2], img.shape[-1]
+    cur = img
+    while h > 1 or w > 1:
+        oh, ow = -(-h // area), -(-w // area)
+        pad = [(0, 0)] * (cur.ndim - 2) + [(0, oh * area - h), (0, ow * area - w)]
+        padded = jnp.pad(cur, pad)  # OOB imageLoad -> 0 (also poisons min)
+        blocks = padded.reshape(cur.shape[:-2] + (oh, area, ow, area))
+        red = blocks.max(axis=(-3, -1)) if mode == "max" else blocks.min(axis=(-3, -1))
+        cur = jnp.trunc(red)  # uvec4() store: truncate toward zero
+        h, w = oh, ow
+    return cur[..., 0, 0]
+
+
+def global_max(sqrt_img: jnp.ndarray, quirks: bool = True) -> jnp.ndarray:
+    if quirks:
+        return _reduce_chain(sqrt_img, "max")
+    return sqrt_img.max(axis=(-2, -1))
+
+
+def global_min(sqrt_img: jnp.ndarray, quirks: bool = True) -> jnp.ndarray:
+    if quirks:
+        return _reduce_chain(sqrt_img, "min")
+    return sqrt_img.min(axis=(-2, -1))
+
+
+def img_normalize(sqrt_img: jnp.ndarray, vmax: jnp.ndarray, vmin: jnp.ndarray,
+                  quirks: bool = True) -> jnp.ndarray:
+    """(x - min) / (max - min); the reference's clamp is a discarded no-op
+    (shaders/img_normalize.comp:27), so quirks mode does not clamp."""
+    vmax = jnp.asarray(vmax, jnp.float32)[..., None, None]
+    vmin = jnp.asarray(vmin, jnp.float32)[..., None, None]
+    out = (sqrt_img - vmin) / (vmax - vmin)
+    if not quirks:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out

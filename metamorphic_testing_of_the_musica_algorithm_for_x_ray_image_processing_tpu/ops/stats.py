@@ -1,0 +1,122 @@
+"""Local statistics + histograms: sdev (5x5 RMS), the noise histogram with
+the reference's per-tile-column ``break`` semantics, and histogram argmax.
+
+TPU design notes
+----------------
+The GLSL histograms are ``imageAtomicAdd`` scatters over a 1-D r32ui image
+(shaders/noise_hist.comp).  TPUs have no fast scatter; we expose two
+implementations behind ``fixed_histogram``:
+
+* ``method='onehot'``: blocks of values are compared against the bin iota and
+  reduced with an f32 matmul -- this rides the MXU and is the default on TPU;
+* ``method='scatter'``: ``zeros.at[bins].add(w)`` -- the XLA scatter path,
+  kept as a cross-check oracle.
+
+The ``break`` quirk (shaders/noise_hist.comp:30-40): each GPU thread scans a
+16x16 tile column-by-column; the first pixel in a tile-column that is 0.0,
+out of range (> 0.1) or maps to bin 0 stops that column's scan.  Vectorized:
+a pixel contributes iff the inclusive running count of break conditions along
+its tile-column segment is zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MusicaConfig
+
+
+def img_sdev(img: jnp.ndarray) -> jnp.ndarray:
+    """5x5 RMS (not mean-subtracted), zero padding at borders
+    (shaders/img_sdev.comp:15-29)."""
+    h, w = img.shape[-2], img.shape[-1]
+    sq = img * img
+    pad = [(0, 0)] * (img.ndim - 2) + [(2, 2), (2, 2)]
+    p = jnp.pad(sq, pad)
+    tmp = sum(p[..., m:m + h, :] for m in range(5))
+    s = sum(tmp[..., :, n:n + w] for n in range(5))
+    return jnp.sqrt(s * (1.0 / 25.0))
+
+
+def fixed_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int,
+                    method: str = "onehot") -> jnp.ndarray:
+    """Weighted histogram of int32 ``bins_idx`` (any shape) into ``n_bins``.
+
+    Out-of-range indices must already carry zero weight (they are clamped
+    into range here, mirroring dropped OOB atomics only when weights are 0).
+    Returns float32 [n_bins].
+    """
+    flat_b = bins_idx.reshape(-1)
+    flat_w = weights.reshape(-1).astype(jnp.float32)
+    in_range = (flat_b >= 0) & (flat_b < n_bins)
+    flat_w = jnp.where(in_range, flat_w, 0.0)
+    flat_b = jnp.clip(flat_b, 0, n_bins - 1)
+    if method == "scatter":
+        return jnp.zeros((n_bins,), jnp.float32).at[flat_b].add(flat_w)
+    # one-hot matmul: chunk rows so the one-hot block stays VMEM-sized
+    n = flat_b.shape[0]
+    row = 512  # 512 x n_bins f32 one-hot block: 4 MB at 2048 bins
+    pad_n = -(-n // row) * row
+    b2 = jnp.pad(flat_b, (0, pad_n - n)).reshape(-1, row)
+    w2 = jnp.pad(flat_w, (0, pad_n - n)).reshape(-1, row)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+
+    def body(carry, xs):
+        b, w = xs
+        onehot = (b[:, None] == iota).astype(jnp.float32)
+        return carry + jnp.dot(w[None, :], onehot,
+                               preferred_element_type=jnp.float32)[0], None
+
+    init = jnp.zeros((n_bins,), jnp.float32)
+    hist, _ = jax.lax.scan(body, init, (b2, w2))
+    return hist
+
+
+def noise_bins(sdev: jnp.ndarray, cfg: MusicaConfig):
+    """Per-pixel (bin, weight) for the noise histogram including the break
+    semantics and dispatch coverage.  sdev is one level's [n, n] image."""
+    n = sdev.shape[-1]
+    tile = cfg.histogram_area_size
+    n_pad = -(-n // tile) * tile
+    cov = min(n_pad, cfg.hist_coverage) if cfg.quirks else n_pad
+    if cov == 0:
+        z = jnp.zeros(sdev.shape[:-2] + (0,), jnp.int32)
+        return z, z.astype(jnp.float32)
+    v = sdev
+    if cov > n:
+        pad = [(0, 0)] * (v.ndim - 2) + [(0, cov - n), (0, cov - n)]
+        v = jnp.pad(v, pad)
+    elif cov < n:
+        v = v[..., :cov, :cov]
+    # division (not reciprocal-multiply): the GLSL divides by 0.1f and the
+    # 1-ulp difference moves pixels across bin boundaries
+    adjusted = v / jnp.float32(cfg.max_noise_value)
+    bins = (adjusted * jnp.float32(cfg.noise_histogram_bins)
+            + jnp.float32(0.5)).astype(jnp.int32)
+    brk = (v == 0.0) | (adjusted > 1.0) | (bins == 0)
+    # tile-column break: reshape x -> (tx, m), y -> (ty, nn); scan runs along nn
+    t = cov // tile
+    brk_t = brk.reshape(brk.shape[:-2] + (t, tile, t, tile))
+    alive = jnp.cumsum(brk_t.astype(jnp.int32), axis=-1) == 0
+    w = alive.reshape(v.shape).astype(jnp.float32)
+    w = jnp.where(bins < cfg.noise_histogram_bins, w, 0.0)  # bin 2048: OOB atomic
+    return bins.reshape(bins.shape[:-2] + (-1,)), w.reshape(w.shape[:-2] + (-1,))
+
+
+def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
+                    method: str = "onehot") -> jnp.ndarray:
+    bins, w = noise_bins(sdev, cfg)
+    if bins.shape[-1] == 0:
+        return jnp.zeros((cfg.noise_histogram_bins,), jnp.float32)
+    return fixed_histogram(bins, w, cfg.noise_histogram_bins, method)
+
+
+def histogram_max(hist: jnp.ndarray):
+    """(max_value, max_bin); strict > keeps the first maximum, and an
+    all-zero histogram yields bin 0 (shaders/img_histogram_max.comp:17-31).
+    jnp.argmax returns the first occurrence, matching exactly."""
+    return hist.max(axis=-1), jnp.argmax(hist, axis=-1).astype(jnp.int32)

@@ -1,0 +1,92 @@
+"""Debug / observability surface.
+
+Mirrors the reference's two debug mechanisms:
+
+* ``debugProcess()`` (src/vk_processing.cpp:2661-2809): dump every
+  intermediate image as an 8-bit BMP -- ``dump_intermediates`` here;
+* the GPU histogram/curve render shaders (noise_hist_render.comp,
+  gradation_curve_debug_render.comp, 512x128 RGBA) -- ``render_histogram``
+  draws the same bars + curve + t0/ta/t1 markers with NumPy.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+from .io import save_bmp8
+
+
+def _to_u8(img: np.ndarray, scale: float, offset: float) -> np.ndarray:
+    """float -> u8 like VulkanState::downloadAndSaveImage
+    (src/vk_state.cpp:809-856): (v - offset) / (scale - offset) * 255."""
+    v = (img.astype(np.float32) - offset) / (scale - offset)
+    return np.clip(v * 255.0, 0, 255).astype(np.uint8)
+
+
+def dump_intermediates(inter: Dict[str, object], out_dir: str) -> None:
+    """Write every stage image as BMP, matching debugProcess's naming and
+    normalization (bandpass-like images use [-1, 1] -> [0, 255], others
+    [0, 1])."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for name, val in inter.items():
+        arr = np.asarray(val) if not isinstance(val, tuple) else None
+        if arr is None or arr.ndim != 2:
+            continue
+        signed = any(k in name for k in ("bandpass", "sdev_"))
+        u8 = _to_u8(arr, 1.0, -1.0 if signed else 0.0)
+        save_bmp8(out / f"{name}.bmp", u8)
+
+
+def render_histogram(hist: np.ndarray, curve=None, markers=(),
+                     width: int = 512, height: int = 128) -> np.ndarray:
+    """Render histogram bars (+ optional piecewise-linear curve and vertical
+    t-markers) into a [height, width, 3] u8 image, the NumPy equivalent of
+    shaders/noise_hist_render.comp / gradation_curve_debug_render.comp."""
+    img = np.full((height, width, 3), 255, np.uint8)
+    hist = np.asarray(hist, np.float64)
+    n = len(hist)
+    peak = hist.max() if hist.max() > 0 else 1.0
+    xs = (np.arange(width) * n) // width
+    bar_h = (hist[xs] / peak * (height - 1)).astype(int)
+    for x in range(width):
+        if bar_h[x] > 0:
+            img[height - bar_h[x]:, x] = (90, 90, 90)
+    if curve is not None:
+        px, py = np.asarray(curve[0]), np.asarray(curve[1])
+        gx = np.linspace(0, 1, width)
+        gy = np.interp(gx, px, py, left=0.0, right=0.0)
+        yy = np.clip(((1.0 - gy) * (height - 1)).astype(int), 0, height - 1)
+        img[yy, np.arange(width)] = (200, 30, 30)
+    for t in markers:
+        x = int(np.clip(t, 0, 1) * (width - 1))
+        img[:, x] = (30, 30, 200)
+    return img
+
+
+class StageTimer:
+    """Per-phase wall timing via block_until_ready, the analogue of the
+    reference's MEASURE_PROCESS fences (src/vk_processing.cpp:2580-2596)."""
+
+    def __init__(self):
+        import time
+        self._time = time
+        self.stages = {}
+        self._last = time.perf_counter()
+
+    def mark(self, name: str, *arrays) -> None:
+        import jax
+        for a in arrays:
+            jax.block_until_ready(a)
+        now = self._time.perf_counter()
+        self.stages[name] = (now - self._last) * 1e3
+        self._last = now
+
+    def summary(self) -> str:
+        total = sum(self.stages.values())
+        parts = [f"{k}: {v:.2f}" for k, v in self.stages.items()]
+        return " \t ".join(parts) + f" \t tot: {total:.2f} (ms)"

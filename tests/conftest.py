@@ -1,0 +1,46 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices so sharding
+tests exercise a multi-chip mesh without TPU hardware.
+
+Note: the environment presets JAX_PLATFORMS=axon (a remote-TPU tunnel) and a
+sitecustomize may import jax before this file runs, so we must force the
+platform through jax.config, not os.environ.
+"""
+
+import os
+
+# must be set before the CPU backend is initialized for the 8-device mesh
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing.phantoms import (  # noqa: E402
+    synthetic_radiograph,
+)
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture(scope="session")
+def phantom_512():
+    return synthetic_radiograph(512, "thorax")
+
+
+@pytest.fixture(scope="session")
+def phantom_256():
+    return synthetic_radiograph(256, "knee")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
