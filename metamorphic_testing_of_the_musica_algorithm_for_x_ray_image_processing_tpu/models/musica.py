@@ -32,7 +32,7 @@ F32 = jnp.float32
 
 
 def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
-                   hist_method: str = "onehot",
+                   hist_method: str = "auto",
                    want_intermediates: bool = False):
     """Full MUSICA pass on one [n, n] uint16 image -> dict of outputs.
 
@@ -152,20 +152,20 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "hist_method"))
 def process_jit(img_u16: jnp.ndarray, cfg: MusicaConfig,
-                hist_method: str = "onehot") -> jnp.ndarray:
+                hist_method: str = "auto") -> jnp.ndarray:
     """jit entry: one image in, cropped uint8 out."""
     return musica_forward(img_u16, cfg, hist_method)["out_u8"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "hist_method"))
 def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
-                      hist_method: str = "onehot") -> jnp.ndarray:
+                      hist_method: str = "auto") -> jnp.ndarray:
     """vmapped batch entry: [B, n, n] uint16 -> [B, n-2m, n-2m] uint8."""
     return jax.vmap(lambda im: musica_forward(im, cfg, hist_method)["out_u8"])(imgs_u16)
 
 
 def process(img_u16, cfg: Optional[MusicaConfig] = None,
-            hist_method: str = "onehot"):
+            hist_method: str = "auto"):
     """Convenience host API mirroring the golden model's signature."""
     import numpy as np
     img = jnp.asarray(np.asarray(img_u16))

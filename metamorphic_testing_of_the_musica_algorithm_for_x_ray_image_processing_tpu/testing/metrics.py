@@ -1,0 +1,96 @@
+"""Similarity metrics for the metamorphic campaign.
+
+Transcribes ``test/metamorphic_test/script.py:143-198``:
+
+* ``mse_similarity``  = 1 - RMSE/255 over uint8 images (:143-145);
+* ``ssim_similarity`` -- scikit-image's default ``structural_similarity``
+  re-implemented (7x7 uniform windows, K1=0.01, K2=0.03, data_range=255,
+  sample covariance normalization), since skimage is not available here;
+* ``hist_similarity`` -> (intersection, euclidean, bhattacharyya) over
+  256-bin histograms; note the reference uses np.histogram's default
+  *data-dependent* range per image -- preserved faithfully (:154-198).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _as_gray(img) -> np.ndarray:
+    a = np.asarray(img)
+    if a.ndim == 3:
+        # PIL 'L' conversion weights
+        a = (a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114) / 1000
+    return a
+
+
+def mse_similarity(image_a, image_b) -> float:
+    a = np.asarray(image_a, dtype=np.int32)
+    b = np.asarray(image_b, dtype=np.int32)
+    errors = np.abs(a - b) / 255.0
+    return 1.0 - math.sqrt(float(np.mean(np.square(errors))))
+
+
+def _uniform_filter(x: np.ndarray, size: int) -> np.ndarray:
+    """Mean filter with 'reflect' boundary (scipy.ndimage.uniform_filter
+    default mode), separable."""
+    from scipy.ndimage import uniform_filter
+    return uniform_filter(x, size=size, mode="reflect")
+
+
+def ssim_similarity(image_a, image_b, win_size: int = 7,
+                    data_range: float = 255.0) -> float:
+    """Mean SSIM, matching skimage.metrics.structural_similarity defaults
+    (uniform 7x7 window, crop pad, sample covariance with N/(N-1))."""
+    x = _as_gray(image_a).astype(np.float64)
+    y = _as_gray(image_b).astype(np.float64)
+    assert x.shape == y.shape
+    k1, k2 = 0.01, 0.03
+    np_ = win_size ** 2
+    cov_norm = np_ / (np_ - 1)
+    ux = _uniform_filter(x, win_size)
+    uy = _uniform_filter(y, win_size)
+    uxx = _uniform_filter(x * x, win_size)
+    uyy = _uniform_filter(y * y, win_size)
+    uxy = _uniform_filter(x * y, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    a1 = 2 * ux * uy + c1
+    a2 = 2 * vxy + c2
+    b1 = ux ** 2 + uy ** 2 + c1
+    b2 = vx + vy + c2
+    s = (a1 * a2) / (b1 * b2)
+    pad = (win_size - 1) // 2
+    return float(s[pad:s.shape[0] - pad, pad:s.shape[1] - pad].mean())
+
+
+def hist_similarity(image_a, image_b, bins: int = 256):
+    """(normalized intersection, normalized euclidean distance,
+    bhattacharyya coefficient); euclidean is the metric the campaign reports."""
+    a = _as_gray(image_a).reshape(-1)
+    b = _as_gray(image_b).reshape(-1)
+    hist_a, _ = np.histogram(a, bins=bins)
+    hist_b, _ = np.histogram(b, bins=bins)
+
+    inter = float(np.sum(np.minimum(hist_a, hist_b))
+                  / min(np.sum(hist_a), np.sum(hist_b)))
+
+    pa = hist_a / np.sum(hist_a)
+    pb = hist_b / np.sum(hist_b)
+    e_distance = float(np.sqrt(np.sum((pa - pb) ** 2)) / np.sqrt(2))
+    b_coeff = float(np.sum(np.sqrt(pa * pb)))
+    return inter, e_distance, b_coeff
+
+
+def psnr(a, b, peak: float = 255.0) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(peak ** 2 / mse))

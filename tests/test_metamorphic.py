@@ -1,0 +1,149 @@
+"""Metamorphic harness tests: metrics, perturbations, campaign, analysis."""
+
+import csv
+import numpy as np
+import pytest
+
+from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing import (
+    analysis, campaign, metrics, perturb,
+)
+from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing.phantoms import synthetic_radiograph
+
+
+# ----------------------------------------------------------------------
+# metrics
+# ----------------------------------------------------------------------
+
+def test_mse_similarity_identity_and_scale(rng):
+    a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    assert metrics.mse_similarity(a, a) == 1.0
+    b = np.clip(a.astype(int) + 51, 0, 255).astype(np.uint8)  # shift ~0.2*255
+    s = metrics.mse_similarity(a, b)
+    assert 0.75 < s < 0.85
+
+
+def test_ssim_basics(rng):
+    a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    assert abs(metrics.ssim_similarity(a, a) - 1.0) < 1e-12
+    noisy = np.clip(a.astype(int) + rng.normal(0, 40, a.shape), 0, 255).astype(np.uint8)
+    s = metrics.ssim_similarity(a, noisy)
+    assert 0.0 < s < 0.9
+
+
+def test_ssim_matches_reference_formula():
+    # constant images: SSIM must be exactly 1
+    a = np.full((32, 32), 100, np.uint8)
+    assert abs(metrics.ssim_similarity(a, a) - 1.0) < 1e-12
+    # constant vs shifted constant: luminance term only
+    b = np.full((32, 32), 110, np.uint8)
+    c1 = (0.01 * 255) ** 2
+    expected = (2 * 100 * 110 + c1) / (100 ** 2 + 110 ** 2 + c1)
+    assert abs(metrics.ssim_similarity(a, b) - expected) < 1e-9
+
+
+def test_hist_similarity(rng):
+    a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    inter, e, bc = metrics.hist_similarity(a, a)
+    assert inter == 1.0 and e == 0.0 and abs(bc - 1.0) < 1e-9
+    b = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    _, e2, _ = metrics.hist_similarity(a, b)
+    assert e2 > 0.0
+
+
+# ----------------------------------------------------------------------
+# perturbations
+# ----------------------------------------------------------------------
+
+def test_quantum_noise_statistics(rng):
+    img = np.full((256, 256), 10000, np.uint16)
+    noisy = perturb.apply_quantum_noise(img, 0.1, rng)
+    # Poisson(1000)/0.1: mean ~10000, std ~ sqrt(1000)/0.1 ~ 316
+    assert abs(float(noisy.mean()) - 10000) < 50
+    assert 250 < float(noisy.std()) < 400
+
+
+def test_gaussian_noise_statistics(rng):
+    img = np.full((256, 256), 30000, np.uint16)
+    noisy = perturb.add_gaussian_noise(img, 0.0, 256.0, rng)
+    assert abs(float(noisy.mean()) - 30000) < 30
+    assert 200 < float(noisy.std()) < 320
+
+
+def test_collimator_masks_border(rng):
+    img = np.full((512, 512), 40000, np.uint16)
+    out = perturb.apply_collimator(img, 100, 100, rng)
+    assert out[256, 256] == 40000                  # window untouched
+    assert out[50, 50] < 2000                      # outside: ~dose/100
+    assert out[50, 256] < 2000
+
+
+def test_translation_fill_and_shift():
+    img = np.arange(512 * 512, dtype=np.uint16).reshape(512, 512)
+    out = perturb.clamp_translation(img, x_shift=100)
+    # the reference crops a margin-10 strip first, then pastes at x_shift:
+    # out[y, x_shift + (x - 10)] == img[y, x]
+    assert out[256, 200] == img[256, 110]
+    # fill on the vacated side
+    assert (out[:, :90] == out[0, 0]).all()
+
+
+def test_rotation_shape_and_fill():
+    img = synthetic_radiograph(512, "hand")
+    out = perturb.clamp_rotate(img, 45)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint16
+
+
+# ----------------------------------------------------------------------
+# campaign + analysis
+# ----------------------------------------------------------------------
+
+def test_campaign_smoke(tmp_path):
+    res = campaign.run_campaign(
+        out_dir=str(tmp_path), image_size=256, anatomies=["knee"], seed=3)
+    rows = res[campaign.R_CSV]
+    assert rows[0][0] == "raw file"
+    # 5 steps x 6 families = 30 direct cases
+    assert len(rows) - 1 == 30
+    # all similarity values must be finite and within sane ranges
+    for r in rows[1:]:
+        own_mse = float(r[2])
+        assert 0.0 <= own_mse <= 1.0
+    assert (tmp_path / campaign.R_CSV).exists()
+    assert (tmp_path / campaign.NR_CSV).exists()
+    assert (tmp_path / campaign.S_CSV).exists()
+    # robustness: weak perturbations stay close to the unaltered output
+    by_name = {r[1]: float(r[2]) for r in rows[1:]}
+    assert by_name["gn_4.0"] > 0.9
+
+
+def test_slope_analysis_flags_trends():
+    header = ["Alteration", "delta mse"]
+    rows = [header]
+    # family 1: strong trend; family 2: flat
+    for i, v in enumerate([0.0, 0.1, 0.2, 0.3, 0.4]):
+        rows.append([f"a_{i}", str(v)])
+    for i, v in enumerate([0.5, 0.5, 0.5, 0.5, 0.5]):
+        rows.append([f"b_{i}", str(v)])
+    out = analysis.slope_analysis(rows)
+    assert len(out) == 2
+    (m1, _, s1, f1), (m2, _, s2, f2) = out
+    assert f1 and abs(s1 - 0.1) < 1e-12
+    assert not f2 and abs(s2) < 1e-12
+
+
+def test_slope_analysis_reads_semicolon_csv(tmp_path):
+    p = tmp_path / "results.csv"
+    p.write_text("Alteration;delta mse\n" +
+                 "".join(f"x_{i};{i * 0.05}\n" for i in range(5)))
+    lines = analysis.slope_analysis_file(str(p), out_file=str(tmp_path / "out.txt"))
+    assert len(lines) == 1 and "slope test=True" in lines[0]
+    assert (tmp_path / "out.txt").exists()
+
+
+def test_mean_cnr(tmp_path):
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.utils.io import save_bmp8
+    save_bmp8(tmp_path / "a.bmp", np.full((16, 16), 128, np.uint8))
+    res = analysis.mean_cnr_dir(str(tmp_path), out_file=str(tmp_path / "out.txt"))
+    assert len(res) == 1
+    assert abs(res[0][1] - 128.0) < 1e-9  # (128/256)*256
