@@ -115,6 +115,9 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
 
     # ---- phase 7: gradation -------------------------------------------------
     relevant = noise.img_relevant(normalized, cnr, cfg)
+    if cfg.enable_clahe:
+        from ..ops import clahe as clahe_ops
+        clahe_graded = clahe_ops.clahe_grade(recon, relevant, cfg, hist_method)
     ghist = gradation.gradation_histogram(recon, relevant, cfg, hist_method)
     gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
     graded = curves.curve_get_y(gpx, gpy, recon)
@@ -124,6 +127,8 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
                       0.0, 255.0).astype(jnp.uint8)
 
     result = {"graded": graded, "out_u8": out_u8, "recon": recon, "cnr": cnr}
+    if cfg.enable_clahe:
+        result["clahe_graded"] = clahe_graded
     if want_intermediates:
         inter.update({
             "normalized": normalized,

@@ -1,1 +1,1 @@
-from . import normalize, pyramid, stats, curves, noise, gradation  # noqa: F401
+from . import normalize, pyramid, stats, curves, noise, gradation, clahe  # noqa: F401

@@ -40,12 +40,14 @@ def gradation_bins(recon: jnp.ndarray, relevant: jnp.ndarray, cfg: MusicaConfig)
     bins = (v * F32(cfg.grad_histogram_bins)).astype(jnp.int32)  # trunc to zero
     t = cov // tile
     zero = (v == 0.0).reshape(v.shape[:-2] + (t, tile, t, tile))
-    # flatten each tile in scan order (m = x offset outer, n = y offset inner)
-    zero_scan = jnp.moveaxis(zero, -3, -2)  # (..., t, t, tile_m, tile_n)
-    alive = jnp.cumsum(
-        zero_scan.reshape(zero_scan.shape[:-2] + (tile * tile,)).astype(jnp.int32),
-        axis=-1) == 0
-    alive = jnp.moveaxis(alive.reshape(zero_scan.shape), -2, -3).reshape(v.shape)
+    # a pixel at tile offset (m, n) survives iff no zero exists in any earlier
+    # tile column m' < m AND none at rows <= n of its own column -- equivalent
+    # to the flatten-scan cumsum but transpose-free:
+    col_zero = zero.any(axis=-1)                                    # (t, m, t)
+    prev_cols = (jnp.cumsum(col_zero.astype(jnp.int32), axis=-2)
+                 - col_zero.astype(jnp.int32)) > 0                  # excl cumsum
+    in_col = jnp.cumsum(zero.astype(jnp.int32), axis=-1) > 0        # incl cumsum
+    alive = (~prev_cols[..., None] & ~in_col).reshape(v.shape)
     w = jnp.where(alive, (r * F32(100.0)).astype(jnp.int32).astype(F32), 0.0)
     w = jnp.where((bins >= 0) & (bins < cfg.grad_histogram_bins), w, 0.0)
     return bins.reshape(bins.shape[:-2] + (-1,)), w.reshape(w.shape[:-2] + (-1,))

@@ -31,11 +31,16 @@ def img_cnr(sdev: jnp.ndarray, max_bin: jnp.ndarray, cfg: MusicaConfig) -> jnp.n
 
 
 def nearest_upsample(small: jnp.ndarray, target: int) -> jnp.ndarray:
-    """Integer-scale nearest upsample: scale = ceil(target/size), idx = x//scale."""
+    """Integer-scale nearest upsample: scale = ceil(target/size), idx = x//scale.
+
+    jnp.repeat + slice (broadcast/reshape, ~free on TPU) instead of a gather
+    (two 37 MB gathers cost ~2.3 ms at 3072^2 on v5e); ``x // scale`` indexing
+    is exactly ``repeat(scale)`` truncated to target.
+    """
     size = small.shape[-1]
     scale = int(math.ceil(target / size))
-    idx = jnp.arange(target) // scale  # always < size (scale >= target/size)
-    return small[..., idx, :][..., :, idx]
+    up = jnp.repeat(small, scale, axis=-2)[..., :target, :]
+    return jnp.repeat(up, scale, axis=-1)[..., :, :target]
 
 
 def noise_reduction(bandpass: jnp.ndarray, cnr: jnp.ndarray,

@@ -51,6 +51,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
         lib.musica_write_bmp8.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int]
+        lib.musica_write_raw16.restype = ctypes.c_int
+        lib.musica_write_raw16.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int]
+        lib.musica_read_raw16_batch.restype = ctypes.c_int
+        lib.musica_read_raw16_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int]
         _NATIVE = lib
         return lib
     except OSError:
@@ -91,6 +99,24 @@ def load_raw(path: str | os.PathLike, size: int = 3072,
             f"(256-byte header + {size}x{size} uint16)")
     img = data[RAW_HEADER_BYTES:].view("<u2").reshape(size, size)
     return img.T.copy() if transpose else img.copy()
+
+
+def load_raw_batch(paths, size: int = 3072, transpose: bool = True,
+                   n_threads: int = 0) -> np.ndarray:
+    """Load many raws into one [B, size, size] array; uses the threaded
+    native loader when available (the data-pipeline feed for batched TPU
+    processing)."""
+    paths = [str(p) for p in paths]
+    lib = _load_native()
+    if lib is not None:
+        out = np.empty((len(paths), size, size), dtype=np.uint16)
+        rc = lib.musica_read_raw16_batch(
+            "\n".join(paths).encode(), len(paths), size, RAW_HEADER_BYTES,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            1 if transpose else 0, n_threads)
+        if rc == 0:
+            return out
+    return np.stack([load_raw(p, size, transpose) for p in paths])
 
 
 def save_raw(path: str | os.PathLike, img_u16: np.ndarray,
