@@ -1,0 +1,201 @@
+"""Fully-fused histogram kernels: stage image -> histogram in one pass.
+
+These fuse three stages that the XLA path materializes in HBM (bin indices,
+break/return-survival masks, weights) into the factorized-one-hot MXU
+accumulation of ``histogram.py``:
+
+* ``noise_hist_fused``: sdev image -> 2048-bin noise histogram with the
+  per-tile-column ``break`` semantics (shaders/noise_hist.comp:21-47);
+* ``grad_hist_fused``: reconstructed image + relevance -> 1024-bin gradation
+  histogram with the whole-tile ``return`` semantics
+  (shaders/gradation_histogram.comp:20-33).
+
+The within-16-lane-group prefix/total ORs that encode the scan-abort
+semantics are computed with log-step masked lane rolls (4 x roll+or on the
+VPU), never leaving VMEM.  HBM traffic drops to exactly one read of the
+input image(s).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .histogram import _factor
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+def _lane_pos(shape, tile: int):
+    """Lane index within its 16-lane group, per element."""
+    return jax.lax.broadcasted_iota(I32, shape, 1) % tile
+
+
+def _masked_roll_or(p, k, lane_in_group):
+    """p | (p shifted right by k lanes), masked so groups don't leak."""
+    shifted = pltpu.roll(p, k, 1)
+    keep = (lane_in_group >= k).astype(p.dtype)
+    return p | (shifted * keep)
+
+
+def _prefix_or_in_group(z, tile: int):
+    """Inclusive prefix-OR along lanes within 16-lane groups (int32 0/1)."""
+    lane = _lane_pos(z.shape, tile)
+    p = z
+    k = 1
+    while k < tile:
+        p = _masked_roll_or(p, k, lane)
+        k *= 2
+    return p
+
+
+def _total_or_in_group(z, tile: int):
+    """Group-wide OR broadcast to every lane of the group."""
+    lane = _lane_pos(z.shape, tile)
+    p = z
+    k = 1
+    while k < tile:
+        w = p.shape[1]
+        shifted_r = pltpu.roll(p, k, 1)
+        keep_r = (lane >= k).astype(p.dtype)
+        shifted_l = pltpu.roll(p, w - k, 1)  # roll left by k (shift >= 0 only)
+        keep_l = (lane < tile - k).astype(p.dtype)
+        p = p | (shifted_r * keep_r) | (shifted_l * keep_l)
+        k *= 2
+    return p
+
+
+def _accumulate_fact(bins, w, out_ref, C: int, F: int):
+    """Per-row factorized one-hot accumulation (see histogram.py)."""
+    rows = bins.shape[0]
+    iota_c = jax.lax.broadcasted_iota(I32, (C, 1), 0)
+    iota_f = jax.lax.broadcasted_iota(I32, (F, 1), 0)
+    acc = jnp.zeros(out_ref.shape, F32)
+    for r in range(rows):
+        b_row = bins[r:r + 1, :]
+        w_row = w[r:r + 1, :]
+        cb = b_row // F
+        fb = b_row % F
+        a_t = jnp.where(cb == iota_c, w_row, 0.0).astype(jnp.bfloat16)
+        f_t = (fb == iota_f).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            a_t, f_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)
+    out_ref[:] += acc
+
+
+# ----------------------------------------------------------------------
+# noise histogram
+# ----------------------------------------------------------------------
+
+def _noise_kernel(sdev_ref, out_ref, *, C, F, n_bins, tile, max_noise):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    v = sdev_ref[:]
+    adjusted = v / F32(max_noise)
+    bins = (adjusted * F32(n_bins) + F32(0.5)).astype(I32)
+    brk = ((v == 0.0) | (adjusted > 1.0) | (bins == 0)).astype(I32)
+    dead = _prefix_or_in_group(brk, tile)
+    w = ((1 - dead) * (bins < n_bins)).astype(F32)
+    bins = jnp.clip(bins, 0, n_bins - 1)
+    _accumulate_fact(bins, w, out_ref, C, F)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_bins", "tile", "max_noise", "rows",
+                                    "interpret"))
+def noise_hist_fused(sdev_cov: jnp.ndarray, n_bins: int = 2048,
+                     tile: int = 16, max_noise: float = 0.1,
+                     rows: int = 16, interpret: bool = False) -> jnp.ndarray:
+    """sdev (already coverage-sliced/padded, [cov, cov]) -> histogram."""
+    C, F, _ = _factor(n_bins)
+    cov = sdev_cov.shape[-1]
+    r = min(rows, sdev_cov.shape[-2])
+    assert sdev_cov.shape[-2] % r == 0
+    return pl.pallas_call(
+        functools.partial(_noise_kernel, C=C, F=F, n_bins=n_bins, tile=tile,
+                          max_noise=max_noise),
+        grid=(sdev_cov.shape[-2] // r,),
+        in_specs=[pl.BlockSpec((r, cov), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, F), F32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sdev_cov.size * C * F,
+            bytes_accessed=sdev_cov.size * 4, transcendentals=0),
+    )(sdev_cov).reshape(-1)[:n_bins]
+
+
+# ----------------------------------------------------------------------
+# gradation histogram
+# ----------------------------------------------------------------------
+
+def _grad_kernel(v_ref, r_ref, out_ref, *, C, F, n_bins, tile):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    v = v_ref[:]          # [16, cov] -- one full tile row
+    rel = r_ref[:]
+    zero = (v == 0.0).astype(I32)
+    # within-row, within-group: pixels before the first zero survive
+    in_col_dead = _prefix_or_in_group(zero, tile)
+    # per-(row, group): does this tile column contain any zero?
+    col_zero = _total_or_in_group(zero, tile)
+    # exclusive prefix-OR across the 16 rows of the tile (sublane direction):
+    # row m is dead if any earlier row's column had a zero
+    rows = v.shape[0]
+    prev = jnp.zeros_like(col_zero)
+    acc_rowwise = []
+    run = jnp.zeros((1, v.shape[1]), I32)
+    for m in range(rows):
+        acc_rowwise.append(run)
+        run = run | col_zero[m:m + 1, :]
+    prev = jnp.concatenate(acc_rowwise, axis=0)
+    alive = (1 - prev) * (1 - in_col_dead)
+
+    bins = (v * F32(n_bins)).astype(I32)
+    wgt = (rel * F32(100.0)).astype(I32).astype(F32)
+    w = jnp.where((bins >= 0) & (bins < n_bins), wgt * alive.astype(F32), 0.0)
+    bins = jnp.clip(bins, 0, n_bins - 1)
+    _accumulate_fact(bins, w, out_ref, C, F)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "tile", "interpret"))
+def grad_hist_fused(recon_cov: jnp.ndarray, relevant_cov: jnp.ndarray,
+                    n_bins: int = 1024, tile: int = 16,
+                    interpret: bool = False) -> jnp.ndarray:
+    """recon + relevance (coverage-padded [cov, cov]) -> gradation histogram.
+
+    The block height equals the 16-row tile so the whole-tile `return`
+    semantics stay inside one grid step.
+    """
+    C, F, _ = _factor(n_bins)
+    cov = recon_cov.shape[-1]
+    assert recon_cov.shape[-2] % tile == 0
+    return pl.pallas_call(
+        functools.partial(_grad_kernel, C=C, F=F, n_bins=n_bins, tile=tile),
+        grid=(recon_cov.shape[-2] // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, F), F32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * recon_cov.size * C * F,
+            bytes_accessed=recon_cov.size * 8, transcendentals=0),
+    )(recon_cov, relevant_cov).reshape(-1)[:n_bins]

@@ -86,32 +86,49 @@ def fixed_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int,
     return hist
 
 
-def noise_bins(sdev: jnp.ndarray, cfg: MusicaConfig):
-    """Per-pixel (bin, weight) for the noise histogram including the break
-    semantics and dispatch coverage.  sdev is one level's [n, n] image."""
+def coverage_view(sdev: jnp.ndarray, cfg: MusicaConfig):
+    """Slice/pad a level image to the histogram dispatch coverage (None when
+    the integer-division dispatch covers nothing, src/vk_processing.cpp:2292)."""
     n = sdev.shape[-1]
     tile = cfg.histogram_area_size
     n_pad = -(-n // tile) * tile
     cov = min(n_pad, cfg.hist_coverage) if cfg.quirks else n_pad
     if cov == 0:
-        z = jnp.zeros(sdev.shape[:-2] + (0,), jnp.int32)
-        return z, z.astype(jnp.float32)
+        return None
     v = sdev
     if cov > n:
         pad = [(0, 0)] * (v.ndim - 2) + [(0, cov - n), (0, cov - n)]
         v = jnp.pad(v, pad)
     elif cov < n:
         v = v[..., :cov, :cov]
+    return v
+
+
+def noise_bins(sdev: jnp.ndarray, cfg: MusicaConfig):
+    """Per-pixel (bin, weight) for the noise histogram including the break
+    semantics and dispatch coverage.  sdev is one level's [n, n] image."""
+    tile = cfg.histogram_area_size
+    v = coverage_view(sdev, cfg)
+    if v is None:
+        z = jnp.zeros(sdev.shape[:-2] + (0,), jnp.int32)
+        return z, z.astype(jnp.float32)
+    cov = v.shape[-1]
     # division (not reciprocal-multiply): the GLSL divides by 0.1f and the
     # 1-ulp difference moves pixels across bin boundaries
     adjusted = v / jnp.float32(cfg.max_noise_value)
     bins = (adjusted * jnp.float32(cfg.noise_histogram_bins)
             + jnp.float32(0.5)).astype(jnp.int32)
     brk = (v == 0.0) | (adjusted > 1.0) | (bins == 0)
-    # tile-column break: reshape x -> (tx, m), y -> (ty, nn); scan runs along nn
+    # tile-column break: reshape x -> (tx, m), y -> (ty, nn); scan runs along
+    # nn.  A pixel survives iff the first break in its 16-lane group comes
+    # strictly after it -- an argmax formulation, ~3x cheaper than the
+    # equivalent inclusive-cumsum == 0 on TPU.
     t = cov // tile
-    brk_t = brk.reshape(brk.shape[:-2] + (t, tile, t, tile))
-    alive = jnp.cumsum(brk_t.astype(jnp.int32), axis=-1) == 0
+    brk_t = brk.reshape(brk.shape[:-2] + (t * tile * t, tile))
+    any_b = brk_t.any(axis=-1)
+    first_b = jnp.where(any_b, jnp.argmax(brk_t, axis=-1).astype(jnp.int32), tile)
+    lane = jnp.arange(tile, dtype=jnp.int32)
+    alive = lane < first_b[..., None]
     w = alive.reshape(v.shape).astype(jnp.float32)
     w = jnp.where(bins < cfg.noise_histogram_bins, w, 0.0)  # bin 2048: OOB atomic
     return bins.reshape(bins.shape[:-2] + (-1,)), w.reshape(w.shape[:-2] + (-1,))
@@ -119,6 +136,20 @@ def noise_bins(sdev: jnp.ndarray, cfg: MusicaConfig):
 
 def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
                     method: str = "auto") -> jnp.ndarray:
+    """Methods: 'fused' (pallas image->hist kernel, TPU default), or any
+    fixed_histogram method applied to the separately-computed bins."""
+    if method == "auto":
+        method = "fused" if jax.default_backend() == "tpu" else "fact"
+    if method in ("fused", "fused_interpret"):
+        from .pallas import fused_hist
+        v = coverage_view(sdev, cfg)
+        if v is None:
+            return jnp.zeros((cfg.noise_histogram_bins,), jnp.float32)
+        rows = 16 if v.shape[-2] % 16 == 0 else (8 if v.shape[-2] % 8 == 0 else 1)
+        return fused_hist.noise_hist_fused(
+            v, cfg.noise_histogram_bins, cfg.histogram_area_size,
+            cfg.max_noise_value, rows=rows,
+            interpret=(method == "fused_interpret"))
     bins, w = noise_bins(sdev, cfg)
     if bins.shape[-1] == 0:
         return jnp.zeros((cfg.noise_histogram_bins,), jnp.float32)
