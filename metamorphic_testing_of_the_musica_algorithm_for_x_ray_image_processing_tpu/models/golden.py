@@ -357,7 +357,13 @@ def img_relevant(normalized: np.ndarray, cnr: np.ndarray, cfg: MusicaConfig) -> 
     ramp_region = (cnr_up >= lo) & (cnr_up <= ramp_top) & in_b2d
     solid_region = ((cnr_up >= ramp_top) & (cnr_up <= hi)
                     & (normalized <= F(cfg.relevant_max_pixel)) & in_b2d)
-    ramp_val = ((cnr_up / ramp_top) ** F(cfg.relevant_k)).astype(F)
+    base = (cnr_up / ramp_top).astype(F)
+    if float(cfg.relevant_k).is_integer() and 1 <= int(cfg.relevant_k) <= 8:
+        ramp_val = base
+        for _ in range(int(cfg.relevant_k) - 1):
+            ramp_val = (ramp_val * base).astype(F)
+    else:
+        ramp_val = (base ** F(cfg.relevant_k)).astype(F)
     out = np.zeros_like(normalized, dtype=F)
     out = np.where(ramp_region, ramp_val, out)
     out = np.where(~ramp_region & solid_region, F(1.0), out)

@@ -114,11 +114,18 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             inter[f"exp_lowpass_{i}"] = low
 
     # ---- phase 7: gradation -------------------------------------------------
-    relevant = noise.img_relevant(normalized, cnr, cfg)
-    if cfg.enable_clahe:
-        from ..ops import clahe as clahe_ops
-        clahe_graded = clahe_ops.clahe_grade(recon, relevant, cfg, hist_method)
-    ghist = gradation.gradation_histogram(recon, relevant, cfg, hist_method)
+    if cfg.enable_clahe or want_intermediates:
+        # the relevance image itself is needed downstream
+        relevant = noise.img_relevant(normalized, cnr, cfg)
+        if cfg.enable_clahe:
+            from ..ops import clahe as clahe_ops
+            clahe_graded = clahe_ops.clahe_grade(recon, relevant, cfg,
+                                                 hist_method)
+        ghist = gradation.gradation_histogram(recon, relevant, cfg, hist_method)
+    else:
+        # relevance is consumed only by the histogram: compute it in-kernel
+        ghist = gradation.gradation_histogram_fused_relevance(
+            recon, normalized, cnr, cfg, hist_method)
     gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
     graded = curves.curve_get_y(gpx, gpy, recon)
 

@@ -83,6 +83,39 @@ def gradation_histogram(recon: jnp.ndarray, relevant: jnp.ndarray,
     return fixed_histogram(bins, w, cfg.grad_histogram_bins, method)
 
 
+def gradation_histogram_fused_relevance(recon: jnp.ndarray,
+                                        normalized: jnp.ndarray,
+                                        cnr: jnp.ndarray,
+                                        cfg: MusicaConfig,
+                                        method: str = "auto") -> jnp.ndarray:
+    """Gradation histogram with the relevance mask computed inside the pallas
+    kernel (saves one full-res HBM round trip).  Falls back to the two-step
+    path off-TPU or when the CNR scale doesn't align with the 16-px tiles."""
+    import jax
+    import math
+    from . import noise as noise_ops
+    n = recon.shape[-1]
+    tile = cfg.histogram_area_size
+    scale = int(math.ceil(n / cnr.shape[-1]))
+    fused_ok = (method in ("auto", "fused", "fused_interpret")
+                and tile % scale == 0 and n % tile == 0)
+    if method == "auto":
+        method = "fused" if jax.default_backend() == "tpu" else "fact"
+    if fused_ok and method in ("fused", "fused_interpret"):
+        from .pallas import fused_hist
+        return fused_hist.grad_hist_relevant_fused(
+            recon, normalized, cnr,
+            n_img=n, cnr_scale=scale, border=cfg.relevant_border,
+            cnr_low=cfg.relevant_cnr_low,
+            cnr_top=cfg.relevant_cnr_low + cfg.relevant_cnr_ramp,
+            cnr_max=cfg.max_cnr_value, k_pow=cfg.relevant_k,
+            max_pixel=cfg.relevant_max_pixel,
+            n_bins=cfg.grad_histogram_bins, tile=tile,
+            interpret=(method == "fused_interpret"))
+    relevant = noise_ops.img_relevant(normalized, cnr, cfg)
+    return gradation_histogram(recon, relevant, cfg, method)
+
+
 def gradation_curve(hist: jnp.ndarray, cfg: MusicaConfig):
     """Tone curve from the gradation histogram
     (shaders/gradation_curve_generate.comp:49-182).

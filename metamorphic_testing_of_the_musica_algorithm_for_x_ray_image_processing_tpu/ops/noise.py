@@ -18,6 +18,18 @@ from ..config import MusicaConfig
 F32 = jnp.float32
 
 
+def _pow_maybe_int(x, k: float):
+    """x ** k; for small integer k an exact multiply chain, so the VPU, the
+    Mosaic kernel and NumPy agree bit-for-bit (library pow differs by ulps
+    across backends, which flips uint(rel*100) weight boundaries)."""
+    if float(k).is_integer() and 1 <= int(k) <= 8:
+        acc = x
+        for _ in range(int(k) - 1):
+            acc = acc * x
+        return acc
+    return x ** type(x.dtype.type(0))(k) if hasattr(x, "dtype") else x ** k
+
+
 def img_cnr(sdev: jnp.ndarray, max_bin: jnp.ndarray, cfg: MusicaConfig) -> jnp.ndarray:
     """cnr = sdev / referenceNoiseLevel, stored / MAX_CNR
     (shaders/img_cnr.comp:23-44); reference noise clipped to >= 1 bin."""
@@ -80,7 +92,7 @@ def img_relevant(normalized: jnp.ndarray, cnr: jnp.ndarray,
     ramp_region = (cnr_up >= lo) & (cnr_up <= top) & inb2d
     solid_region = ((cnr_up >= top) & (cnr_up <= hi)
                     & (normalized <= F32(cfg.relevant_max_pixel)) & inb2d)
-    ramp_val = (cnr_up / top) ** F32(cfg.relevant_k)
+    ramp_val = _pow_maybe_int(cnr_up / top, cfg.relevant_k)
     out = jnp.where(ramp_region, ramp_val,
                     jnp.where(solid_region, F32(1.0), F32(0.0)))
     return out

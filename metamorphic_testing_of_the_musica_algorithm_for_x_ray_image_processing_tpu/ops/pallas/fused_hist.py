@@ -71,11 +71,16 @@ def _total_or_in_group(z, tile: int):
 
 
 def _accumulate_fact(bins, w, out_ref, C: int, F: int):
-    """Per-row factorized one-hot accumulation (see histogram.py)."""
+    """Per-row factorized one-hot accumulation (see histogram.py).
+
+    Counts must stay EXACT integers (the GLSL histogram is a uint32 atomic):
+    each per-row f32 matmul partial is bounded by K * max_weight < 2^24 and
+    therefore exact; cross-row and cross-step accumulation is int32.
+    """
     rows = bins.shape[0]
     iota_c = jax.lax.broadcasted_iota(I32, (C, 1), 0)
     iota_f = jax.lax.broadcasted_iota(I32, (F, 1), 0)
-    acc = jnp.zeros(out_ref.shape, F32)
+    acc = jnp.zeros(out_ref.shape, I32)
     for r in range(rows):
         b_row = bins[r:r + 1, :]
         w_row = w[r:r + 1, :]
@@ -83,9 +88,10 @@ def _accumulate_fact(bins, w, out_ref, C: int, F: int):
         fb = b_row % F
         a_t = jnp.where(cb == iota_c, w_row, 0.0).astype(jnp.bfloat16)
         f_t = (fb == iota_f).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
+        part = jax.lax.dot_general(
             a_t, f_t, (((1,), (1,)), ((), ())),
             preferred_element_type=F32)
+        acc = acc + part.astype(I32)
     out_ref[:] += acc
 
 
@@ -127,7 +133,7 @@ def noise_hist_fused(sdev_cov: jnp.ndarray, n_bins: int = 2048,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, F), F32),
+        out_shape=jax.ShapeDtypeStruct((C, F), I32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * sdev_cov.size * C * F,
@@ -170,6 +176,104 @@ def _grad_kernel(v_ref, r_ref, out_ref, *, C, F, n_bins, tile):
     _accumulate_fact(bins, w, out_ref, C, F)
 
 
+def _grad_relevant_kernel(v_ref, norm_ref, cnr_ref, out_ref, *,
+                          C, F, n_bins, tile, n_img, cnr_scale,
+                          border, cnr_low, cnr_top, cnr_max, k_pow, max_pixel):
+    """grad_hist with the relevance mask computed in-kernel
+    (shaders/img_relevant.comp:27-63 fused into gradation_histogram.comp):
+    saves materializing the full-res relevance image in HBM."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    v = v_ref[:]
+    norm = norm_ref[:]
+    rows, cov = v.shape
+
+    # ---- relevance (nearest-upsampled CNR + intensity + border tests) ----
+    row0 = pl.program_id(0) * rows
+    r_idx = row0 + jax.lax.broadcasted_iota(I32, (rows, cov), 0)
+    c_idx = jax.lax.broadcasted_iota(I32, (rows, cov), 1)
+    # cnr_ref is pre-expanded along lanes ([cs, cov]); select/repeat its rows
+    # for this block with a one-hot matmul (Mosaic forbids unaligned dynamic
+    # sublane slices).  Each output row has exactly one nonzero selector, so
+    # the product is exact in any precision.
+    cs = cnr_ref.shape[0]
+    src_row = (row0 + jax.lax.broadcasted_iota(I32, (rows, cs), 0)) // cnr_scale
+    sel = (src_row == jax.lax.broadcasted_iota(I32, (rows, cs), 1)).astype(F32)
+    cnr_up = jax.lax.dot_general(
+        sel, cnr_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=F32) * F32(cnr_max)
+    inb = ((r_idx > border) & (r_idx < n_img - border)
+           & (c_idx > border) & (c_idx < n_img - border))
+    ramp = (cnr_up >= cnr_low) & (cnr_up <= cnr_top) & inb
+    solid = ((cnr_up >= cnr_top) & (cnr_up <= cnr_max)
+             & (norm <= max_pixel) & inb)
+    from ..noise import _pow_maybe_int
+    ramp_val = _pow_maybe_int(cnr_up / F32(cnr_top), k_pow)
+    rel = jnp.where(ramp, ramp_val, jnp.where(solid, F32(1.0), F32(0.0)))
+
+    # ---- gradation histogram semantics (as _grad_kernel) ----
+    zero = (v == 0.0).astype(I32)
+    in_col_dead = _prefix_or_in_group(zero, tile)
+    col_zero = _total_or_in_group(zero, tile)
+    run = jnp.zeros((1, cov), I32)
+    acc_rowwise = []
+    for m in range(rows):
+        acc_rowwise.append(run)
+        run = run | col_zero[m:m + 1, :]
+    prev = jnp.concatenate(acc_rowwise, axis=0)
+    alive = (1 - prev) * (1 - in_col_dead)
+
+    bins = (v * F32(n_bins)).astype(I32)
+    wgt = (rel * F32(100.0)).astype(I32).astype(F32)
+    w = jnp.where((bins >= 0) & (bins < n_bins), wgt * alive.astype(F32), 0.0)
+    bins = jnp.clip(bins, 0, n_bins - 1)
+    _accumulate_fact(bins, w, out_ref, C, F)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_bins", "tile", "interpret", "n_img", "cnr_scale", "border",
+    "cnr_low", "cnr_top", "cnr_max", "k_pow", "max_pixel"))
+def grad_hist_relevant_fused(recon_cov: jnp.ndarray, normalized_cov: jnp.ndarray,
+                             cnr: jnp.ndarray, *, n_img: int, cnr_scale: int,
+                             border: int, cnr_low: float, cnr_top: float,
+                             cnr_max: float, k_pow: float, max_pixel: float,
+                             n_bins: int = 1024, tile: int = 16,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Gradation histogram with in-kernel relevance; recon/normalized are
+    coverage-padded [cov, cov], cnr is the small CNR map."""
+    C, F, _ = _factor(n_bins)
+    cov = recon_cov.shape[-1]
+    assert recon_cov.shape[-2] % tile == 0
+    # pre-expand CNR along lanes (tiny: cs x cov); rows expand in-kernel
+    cnr = jnp.repeat(cnr, cnr_scale, axis=-1)[..., :cov]
+    cs = cnr.shape[-2]
+    kern = functools.partial(
+        _grad_relevant_kernel, C=C, F=F, n_bins=n_bins, tile=tile,
+        n_img=n_img, cnr_scale=cnr_scale, border=border, cnr_low=cnr_low,
+        cnr_top=cnr_top, cnr_max=cnr_max, k_pow=k_pow, max_pixel=max_pixel)
+    return pl.pallas_call(
+        kern,
+        grid=(recon_cov.shape[-2] // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cs, cov), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, F), I32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * recon_cov.size * C * F,
+            bytes_accessed=recon_cov.size * 8, transcendentals=recon_cov.size),
+    )(recon_cov, normalized_cov, cnr).reshape(-1)[:n_bins]
+
+
 @functools.partial(jax.jit, static_argnames=("n_bins", "tile", "interpret"))
 def grad_hist_fused(recon_cov: jnp.ndarray, relevant_cov: jnp.ndarray,
                     n_bins: int = 1024, tile: int = 16,
@@ -193,7 +297,7 @@ def grad_hist_fused(recon_cov: jnp.ndarray, relevant_cov: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, F), F32),
+        out_shape=jax.ShapeDtypeStruct((C, F), I32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * recon_cov.size * C * F,

@@ -15,8 +15,9 @@ matrix product of two *narrow* one-hot operands:
 For 2048 bins (C=64, F=32) this turns 9.4M scatter-adds into a 38-GFLOP bf16
 matmul plus 96 compares per element -- both orders of magnitude cheaper than
 scatter.  Exactness: one-hots and small-integer weights are exactly
-representable in bf16, the products are 0 or w_i, and accumulation is f32
-(``preferred_element_type``), so counts are exact integers up to 2^24.
+representable in bf16 and the products are 0 or w_i; partial sums are chunked
+so every f32 accumulation stays below 2^24, with int32 accumulation across
+chunks -- counts are exact integers, matching the uint32 atomics.
 
 Two implementations:
 
@@ -50,19 +51,34 @@ def _factor(n_bins: int):
 def factorized_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray,
                          n_bins: int) -> jnp.ndarray:
     """Pure-XLA factorized one-hot histogram.  ``bins_idx`` int32 in
-    [0, n_bins), ``weights`` f32 (zero for dropped entries)."""
+    [0, n_bins), ``weights`` f32 integers (zero for dropped entries).
+
+    Counts are kept EXACT (the GLSL histogram is a uint32 atomic): the data
+    is chunked so each f32 batched-matmul partial stays below 2^24, then the
+    partials are summed in int32.  Returns int32 [n_bins].
+    """
     C, F, padded = _factor(n_bins)
     b = bins_idx.reshape(-1)
     w = weights.reshape(-1)
-    cb = b // F
-    fb = b % F
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
-    a = jnp.where(cb[:, None] == iota_c, w[:, None], 0.0).astype(jnp.bfloat16)
-    bm = (fb[:, None] == iota_f).astype(jnp.bfloat16)
-    h2 = jax.lax.dot_general(a, bm, (((0,), (0,)), ((), ())),
+    # chunk so chunk_len * max_weight(100) < 2^24
+    chunk = 131072
+    n = b.shape[0]
+    pad_n = -(-max(n, 1) // chunk) * chunk
+    if pad_n != n:
+        b = jnp.pad(b, (0, pad_n - n))
+        w = jnp.pad(w, (0, pad_n - n))
+    k = pad_n // chunk
+    b2 = b.reshape(k, chunk)
+    w2 = w.reshape(k, chunk)
+    cb = b2 // F
+    fb = b2 % F
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F), 2)
+    a = jnp.where(cb[..., None] == iota_c, w2[..., None], 0.0).astype(jnp.bfloat16)
+    bm = (fb[..., None] == iota_f).astype(jnp.bfloat16)
+    h2 = jax.lax.dot_general(a, bm, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    return h2.reshape(-1)[:n_bins]
+    return h2.astype(jnp.int32).sum(axis=0).reshape(-1)[:n_bins]
 
 
 _ROWS = 8  # sublane tile: Mosaic block second-to-last dim must divide by 8
@@ -83,10 +99,10 @@ def _hist_kernel(b_ref, w_ref, out_ref, *, C: int, F: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    k = b_ref.shape[1]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    # exact integer counts: per-row f32 partials (< 2^24), int32 accumulation
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
     for r in range(_ROWS):
         b_row = b_ref[r:r + 1, :]          # [1, K]
         w_row = w_ref[r:r + 1, :]
@@ -94,9 +110,10 @@ def _hist_kernel(b_ref, w_ref, out_ref, *, C: int, F: int):
         fb = b_row % F
         a_t = jnp.where(cb == iota_c, w_row, 0.0).astype(jnp.bfloat16)  # [C, K]
         f_t = (fb == iota_f).astype(jnp.bfloat16)                       # [F, K]
-        acc = acc + jax.lax.dot_general(
+        part = jax.lax.dot_general(
             a_t, f_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        acc = acc + part.astype(jnp.int32)
     out_ref[:] += acc
 
 
@@ -129,7 +146,7 @@ def factorized_histogram_pallas(bins_idx: jnp.ndarray, weights: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, F), jnp.int32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * pad_n * C * F, bytes_accessed=pad_n * 8 + C * F * 4,

@@ -43,7 +43,8 @@ def fixed_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int,
 
     Out-of-range indices must already carry zero weight (they are clamped
     into range here, mirroring dropped OOB atomics only when weights are 0).
-    Returns float32 [n_bins].
+    Returns EXACT int32 counts [n_bins] (the GLSL histograms are uint32
+    atomics; f32 accumulation would round above 2^24).
 
     Methods (all produce bit-identical integer counts):
       * ``pallas``  -- factorized one-hot MXU kernel (ops/pallas/histogram.py);
@@ -65,7 +66,9 @@ def fixed_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int,
             return phist.factorized_histogram_pallas(flat_b, flat_w, n_bins)
         return phist.factorized_histogram(flat_b, flat_w, n_bins)
     if method == "scatter":
-        return jnp.zeros((n_bins,), jnp.float32).at[flat_b].add(flat_w)
+        # int32 accumulation: counts must be exact (GLSL uint32 atomics)
+        return jnp.zeros((n_bins,), jnp.int32).at[flat_b].add(
+            flat_w.astype(jnp.int32))
     # one-hot matmul: chunk rows so the one-hot block stays VMEM-sized
     n = flat_b.shape[0]
     row = 512  # 512 x n_bins f32 one-hot block: 4 MB at 2048 bins
@@ -78,10 +81,11 @@ def fixed_histogram(bins_idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int,
     def body(carry, xs):
         b, w = xs
         onehot = (b[:, None] == iota).astype(jnp.float32)
-        return carry + jnp.dot(w[None, :], onehot,
-                               preferred_element_type=jnp.float32)[0], None
+        part = jnp.dot(w[None, :], onehot,
+                       preferred_element_type=jnp.float32)[0]
+        return carry + part.astype(jnp.int32), None
 
-    init = jnp.zeros((n_bins,), jnp.float32)
+    init = jnp.zeros((n_bins,), jnp.int32)
     hist, _ = jax.lax.scan(body, init, (b2, w2))
     return hist
 
@@ -144,7 +148,7 @@ def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
         from .pallas import fused_hist
         v = coverage_view(sdev, cfg)
         if v is None:
-            return jnp.zeros((cfg.noise_histogram_bins,), jnp.float32)
+            return jnp.zeros((cfg.noise_histogram_bins,), jnp.int32)
         rows = 16 if v.shape[-2] % 16 == 0 else (8 if v.shape[-2] % 8 == 0 else 1)
         return fused_hist.noise_hist_fused(
             v, cfg.noise_histogram_bins, cfg.histogram_area_size,
@@ -152,7 +156,7 @@ def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
             interpret=(method == "fused_interpret"))
     bins, w = noise_bins(sdev, cfg)
     if bins.shape[-1] == 0:
-        return jnp.zeros((cfg.noise_histogram_bins,), jnp.float32)
+        return jnp.zeros((cfg.noise_histogram_bins,), jnp.int32)
     return fixed_histogram(bins, w, cfg.noise_histogram_bins, method)
 
 

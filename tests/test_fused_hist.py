@@ -40,3 +40,20 @@ def test_fused_grad_hist_matches_golden(rng):
     j = np.asarray(gradation.gradation_histogram(
         jnp.asarray(recon), jnp.asarray(relevant), cfg, "fused_interpret"))
     np.testing.assert_array_equal(j.astype(np.int64), g)
+
+
+def test_fused_relevance_grad_hist_matches_two_step(rng):
+    cfg = MusicaConfig(image_size=512)
+    n = 512
+    recon = rng.uniform(-0.1, 1.2, (n, n)).astype(np.float32)
+    recon[rng.uniform(size=(n, n)) < 0.02] = 0.0
+    normalized = rng.uniform(0, 1.01, (n, n)).astype(np.float32)
+    cnr = rng.uniform(0, 0.1, (64, 64)).astype(np.float32)
+    a = np.asarray(gradation.gradation_histogram_fused_relevance(
+        jnp.asarray(recon), jnp.asarray(normalized), jnp.asarray(cnr), cfg,
+        "fused_interpret"))
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.ops import noise
+    rel = noise.img_relevant(jnp.asarray(normalized), jnp.asarray(cnr), cfg)
+    b = np.asarray(gradation.gradation_histogram(jnp.asarray(recon), rel, cfg,
+                                                 "fact"))
+    np.testing.assert_array_equal(a, b)
