@@ -194,16 +194,15 @@ def _grad_relevant_kernel(v_ref, norm_ref, cnr_ref, out_ref, *,
     row0 = pl.program_id(0) * rows
     r_idx = row0 + jax.lax.broadcasted_iota(I32, (rows, cov), 0)
     c_idx = jax.lax.broadcasted_iota(I32, (rows, cov), 1)
-    # cnr_ref is pre-expanded along lanes ([cs, cov]); select/repeat its rows
-    # for this block with a one-hot matmul (Mosaic forbids unaligned dynamic
-    # sublane slices).  Each output row has exactly one nonzero selector, so
-    # the product is exact in any precision.
-    cs = cnr_ref.shape[0]
-    src_row = (row0 + jax.lax.broadcasted_iota(I32, (rows, cs), 0)) // cnr_scale
-    sel = (src_row == jax.lax.broadcasted_iota(I32, (rows, cs), 1)).astype(F32)
-    cnr_up = jax.lax.dot_general(
-        sel, cnr_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=F32) * F32(cnr_max)
+    # cnr_ref delivers this block's 8 pre-expanded CNR rows (lane-expanded and
+    # row-expanded on the host so the BlockSpec stays 8-aligned; an MXU
+    # one-hot select is NOT bit-exact on v5e -- f32 matmul goes through bf16
+    # passes).  Expand 8 -> rows in-kernel with exact sublane broadcasts.
+    blk = cnr_ref[:]
+    reps = rows // blk.shape[0]
+    cnr_up = jnp.concatenate(
+        [jnp.broadcast_to(blk[j:j + 1, :], (reps, cov))
+         for j in range(blk.shape[0])], axis=0) * F32(cnr_max)
     inb = ((r_idx > border) & (r_idx < n_img - border)
            & (c_idx > border) & (c_idx < n_img - border))
     ramp = (cnr_up >= cnr_low) & (cnr_up <= cnr_top) & inb
@@ -246,9 +245,13 @@ def grad_hist_relevant_fused(recon_cov: jnp.ndarray, normalized_cov: jnp.ndarray
     C, F, _ = _factor(n_bins)
     cov = recon_cov.shape[-1]
     assert recon_cov.shape[-2] % tile == 0
-    # pre-expand CNR along lanes (tiny: cs x cov); rows expand in-kernel
+    # pre-expand CNR along lanes, and along rows to 8 rows per 16-row block
+    # (so its BlockSpec advances 8-aligned; callers guarantee 16 % scale == 0
+    # and scale >= 2)
     cnr = jnp.repeat(cnr, cnr_scale, axis=-1)[..., :cov]
-    cs = cnr.shape[-2]
+    pre = max((8 * cnr_scale) // tile, 1)
+    cnr = jnp.repeat(cnr, pre, axis=-2)
+    blk_rows = tile * pre // cnr_scale  # == 8 for scale >= 2
     kern = functools.partial(
         _grad_relevant_kernel, C=C, F=F, n_bins=n_bins, tile=tile,
         n_img=n_img, cnr_scale=cnr_scale, border=border, cnr_low=cnr_low,
@@ -261,7 +264,7 @@ def grad_hist_relevant_fused(recon_cov: jnp.ndarray, normalized_cov: jnp.ndarray
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, cov), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cs, cov), lambda i: (0, 0),
+            pl.BlockSpec((blk_rows, cov), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),
