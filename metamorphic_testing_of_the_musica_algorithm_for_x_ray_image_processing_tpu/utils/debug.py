@@ -30,41 +30,67 @@ def _to_u8(img: np.ndarray, scale: float, offset: float) -> np.ndarray:
 def dump_intermediates(inter: Dict[str, object], out_dir: str) -> None:
     """Write every stage image as BMP, matching debugProcess's naming and
     normalization (bandpass-like images use [-1, 1] -> [0, 255], others
-    [0, 1])."""
+    [0, 1]); histogram/curve data is rendered into 512x128 debug images like
+    the reference's render shaders (noise_hist.bmp, grad_hist.bmp)."""
+    from .io import save_bmp_rgb
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     for name, val in inter.items():
-        arr = np.asarray(val) if not isinstance(val, tuple) else None
-        if arr is None or arr.ndim != 2:
+        if isinstance(val, tuple):
+            continue
+        arr = np.asarray(val)
+        if arr.ndim != 2:
             continue
         signed = any(k in name for k in ("bandpass", "sdev_"))
         u8 = _to_u8(arr, 1.0, -1.0 if signed else 0.0)
         save_bmp8(out / f"{name}.bmp", u8)
+    # histogram / curve renders (reference: noise_hist_render.comp,
+    # gradation_curve_debug_render.comp; dumped as noise_hist.bmp /
+    # grad_hist.bmp by debugProcess, src/vk_processing.cpp:2761-2808)
+    cnr_key = None
+    for k in inter:
+        if k.startswith("noise_hist_"):
+            cnr_key = k  # keep last (== cnr level when present)
+    if cnr_key is not None:
+        save_bmp_rgb(out / "noise_hist.bmp",
+                     render_histogram(np.asarray(inter[cnr_key])))
+    if "grad_hist" in inter and "grad_curve" in inter:
+        gpx, gpy, tvals = inter["grad_curve"]
+        save_bmp_rgb(out / "grad_hist.bmp",
+                     render_histogram(np.asarray(inter["grad_hist"]),
+                                      curve=(np.asarray(gpx), np.asarray(gpy)),
+                                      markers=[float(t) for t in tvals]))
 
 
 def render_histogram(hist: np.ndarray, curve=None, markers=(),
                      width: int = 512, height: int = 128) -> np.ndarray:
     """Render histogram bars (+ optional piecewise-linear curve and vertical
     t-markers) into a [height, width, 3] u8 image, the NumPy equivalent of
-    shaders/noise_hist_render.comp / gradation_curve_debug_render.comp."""
-    img = np.full((height, width, 3), 255, np.uint8)
+    shaders/noise_hist_render.comp / gradation_curve_debug_render.comp:
+    black background, white bars scaled to the peak (peak bin green), red
+    baseline, red tone curve, marker lines for t0/ta/t1."""
+    img = np.zeros((height, width, 3), np.uint8)
     hist = np.asarray(hist, np.float64)
     n = len(hist)
-    peak = hist.max() if hist.max() > 0 else 1.0
+    peak_val = hist.max()
+    peak_bin = int(hist.argmax())
     xs = (np.arange(width) * n) // width
-    bar_h = (hist[xs] / peak * (height - 1)).astype(int)
+    bar_h = (hist[xs] * (height / (peak_val + 1.0))).astype(int)
+    bar_h = np.minimum(bar_h, height - 1)
     for x in range(width):
+        color = (0, 255, 0) if xs[x] == peak_bin and peak_val > 0 else (255, 255, 255)
         if bar_h[x] > 0:
-            img[height - bar_h[x]:, x] = (90, 90, 90)
+            img[height - bar_h[x] - 1:height - 1, x] = color
+    img[height - 1, :] = (255, 0, 0)  # baseline row, as the shader draws
     if curve is not None:
         px, py = np.asarray(curve[0]), np.asarray(curve[1])
         gx = np.linspace(0, 1, width)
         gy = np.interp(gx, px, py, left=0.0, right=0.0)
         yy = np.clip(((1.0 - gy) * (height - 1)).astype(int), 0, height - 1)
-        img[yy, np.arange(width)] = (200, 30, 30)
+        img[yy, np.arange(width)] = (255, 40, 40)
     for t in markers:
         x = int(np.clip(t, 0, 1) * (width - 1))
-        img[:, x] = (30, 30, 200)
+        img[:, x] = (60, 60, 255)
     return img
 
 

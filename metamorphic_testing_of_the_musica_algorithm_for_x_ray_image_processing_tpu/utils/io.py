@@ -159,7 +159,17 @@ def save_bmp8(path: str | os.PathLike, img_u8: np.ndarray) -> None:
             w, h)
         if rc == 0:
             return
-    # numpy fallback: 24-bit BMP, bottom-up rows, BGR
+    _write_bmp24(path, np.repeat(img[..., None], 3, axis=-1))
+
+
+def save_bmp_rgb(path: str | os.PathLike, img_rgb: np.ndarray) -> None:
+    """Write an [h, w, 3] uint8 RGB image as 24-bit BMP (for the histogram /
+    curve debug renders, reference: noise_hist_render.comp etc.)."""
+    _write_bmp24(path, np.asarray(img_rgb, np.uint8))
+
+
+def _write_bmp24(path, rgb: np.ndarray) -> None:
+    h, w = rgb.shape[:2]
     row_bytes = w * 3
     pad = (-row_bytes) % 4
     data_size = (row_bytes + pad) * h
@@ -170,8 +180,8 @@ def save_bmp8(path: str | os.PathLike, img_u8: np.ndarray) -> None:
     body = bytearray()
     padding = b"\x00" * pad
     for row in range(h - 1, -1, -1):
-        bgr = np.repeat(img[row][:, None], 3, axis=1)
-        body += bgr.tobytes() + padding
+        bgr = rgb[row][:, ::-1]  # BMP stores BGR
+        body += np.ascontiguousarray(bgr).tobytes() + padding
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
         f.write(header)
