@@ -46,19 +46,28 @@ def cmd_process(args) -> int:
     from .utils import io as uio
     from .utils.debug import dump_intermediates
 
-    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks)
+    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks,
+                       enable_clahe=args.clahe,
+                       grad_with_linear_image=args.linear_gradation)
     raw = uio.load_raw(args.input, args.size, transpose=not args.no_transpose)
+    if args.save_last_raw:
+        # saveLastRawImage analogue (src/vk_processing.cpp:2811-2815)
+        uio.save_raw(args.save_last_raw, raw)
     t0 = time.perf_counter()
-    if args.debug_dump:
+    if args.timing:
+        # MEASURE_PROCESS analogue: per-phase fenced timing
+        out, times = musica.timed_process(raw, cfg)
+        print(" \t ".join(f"{k}: {v:.2f}" for k, v in times.items()))
+    elif args.debug_dump:
         import jax
         fwd = jax.jit(
             lambda im: musica.musica_forward(im, cfg, want_intermediates=True),
             static_argnums=())
         res = fwd(jnp.asarray(raw))
         out = np.asarray(res["out_u8"])
-        inter = {k: v for k, v in res["intermediates"].items()}
-        dump_intermediates({k: np.asarray(v) for k, v in inter.items()
-                            if not isinstance(v, tuple)}, args.debug_dump)
+        inter = {k: (v if isinstance(v, tuple) else np.asarray(v))
+                 for k, v in res["intermediates"].items()}
+        dump_intermediates(inter, args.debug_dump)
     else:
         out = musica.process(raw, cfg)
     dt = time.perf_counter() - t0
@@ -127,6 +136,14 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("--debug-dump", default=None,
                    help="directory for intermediate-image BMPs (debugProcess)")
+    p.add_argument("--timing", action="store_true",
+                   help="per-phase fenced timing (MEASURE_PROCESS analogue)")
+    p.add_argument("--save-last-raw", default=None,
+                   help="re-save the loaded raw (saveLastRawImage analogue)")
+    p.add_argument("--clahe", action="store_true",
+                   help="enable the CLAHE gradation variant (ENABLE_CLAHE)")
+    p.add_argument("--linear-gradation", action="store_true",
+                   help="grade the squared image (GRAD_WITH_LINEAR_IMAGE)")
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("batch", help="process a glob of raw files")

@@ -592,14 +592,16 @@ def process(img_u16: np.ndarray, cfg: MusicaConfig | None = None,
         recon = (low + band).astype(F)
     inter["recon"] = recon
 
-    # gradation
+    # gradation (GRAD_WITH_LINEAR_IMAGE squares the reconstruction first,
+    # shaders/img_linear.comp)
+    grad_input = (recon * recon).astype(F) if cfg.grad_with_linear_image else recon
     relevant = img_relevant(normalized, cnr, cfg)
     inter["relevant"] = relevant
-    ghist = gradation_histogram(recon, relevant, cfg)
+    ghist = gradation_histogram(grad_input, relevant, cfg)
     inter["grad_hist"] = ghist
     gpx, gpy, tvals = gradation_curve_generate(ghist, cfg)
     inter["grad_curve"] = (gpx, gpy, tvals)
-    graded = apply_gradation_curve(recon, gpx, gpy)
+    graded = apply_gradation_curve(grad_input, gpx, gpy)
     inter["graded"] = graded
 
     out = save_out_u8(graded, cfg.out_margin)

@@ -114,6 +114,10 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             inter[f"exp_lowpass_{i}"] = low
 
     # ---- phase 7: gradation -------------------------------------------------
+    # GRAD_WITH_LINEAR_IMAGE variant (shaders/img_linear.comp: out = in^2;
+    # wiring at src/vk_processing.cpp:1623-1629, 1769-1775): the gradation
+    # histogram and tone-map operate on the squared (linear-domain) image.
+    grad_input = recon * recon if cfg.grad_with_linear_image else recon
     if cfg.enable_clahe or want_intermediates:
         # the relevance image itself is needed downstream
         relevant = noise.img_relevant(normalized, cnr, cfg)
@@ -121,13 +125,14 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             from ..ops import clahe as clahe_ops
             clahe_graded = clahe_ops.clahe_grade(recon, relevant, cfg,
                                                  hist_method)
-        ghist = gradation.gradation_histogram(recon, relevant, cfg, hist_method)
+        ghist = gradation.gradation_histogram(grad_input, relevant, cfg,
+                                              hist_method)
     else:
         # relevance is consumed only by the histogram: compute it in-kernel
         ghist = gradation.gradation_histogram_fused_relevance(
-            recon, normalized, cnr, cfg, hist_method)
+            grad_input, normalized, cnr, cfg, hist_method)
     gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
-    graded = curves.curve_get_y(gpx, gpy, recon)
+    graded = curves.curve_get_y(gpx, gpy, grad_input)
 
     m = cfg.out_margin
     out_u8 = jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
@@ -144,6 +149,8 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             "grad_curve": (gpx, gpy, tvals),
             "sqrt_max": vmax, "sqrt_min": vmin,
         })
+        if cfg.grad_with_linear_image:
+            inter["linear"] = grad_input
         for i, b in enumerate(bandpass):
             inter[f"red_bandpass_{i}"] = b
         for i, d in enumerate(downs):
@@ -183,3 +190,127 @@ def process(img_u16, cfg: Optional[MusicaConfig] = None,
     img = jnp.asarray(np.asarray(img_u16))
     cfg = cfg or MusicaConfig(image_size=img.shape[-1])
     return np.asarray(process_jit(img, cfg, hist_method))
+
+
+def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
+                  hist_method: str = "auto"):
+    """Per-phase timed execution, the analogue of MEASURE_PROCESS
+    (src/vk_processing.cpp:2580-2596: one fence per phase, printf summary).
+
+    Runs each phase as its own fenced jit call, so -- exactly like the
+    reference's extra fences -- the timed run is slower than the fused one.
+    Returns (out_u8, {phase: ms}).
+    """
+    import time
+
+    import numpy as np
+
+    img = jnp.asarray(np.asarray(img_u16))
+    cfg = cfg or MusicaConfig(image_size=img.shape[-1])
+    L = cfg.pyramid_levels
+    times = {}
+
+    def fence(*arrays):
+        # the axon relay's block_until_ready is unreliable; a host transfer
+        # of a scalar checksum forces completion
+        np.asarray(sum(jnp.sum(a.astype(jnp.float32)) for a in arrays))
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def phase_norm(im, cfg=cfg):
+        s = normalize.img_sqrt(im)
+        return normalize.img_normalize(
+            s, normalize.global_max(s, cfg.quirks),
+            normalize.global_min(s, cfg.quirks), cfg.quirks)
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def phase_reduce(nrm, cfg=cfg):
+        bandpass, downs, cur = [], [], nrm
+        for _ in range(cfg.pyramid_levels):
+            dn = pyramid.smooth_downsample(cur)
+            bandpass.append(cur - pyramid.upsample_smooth(dn, cur.shape[-1]))
+            downs.append(dn)
+            cur = dn
+        return bandpass, downs
+
+    @partial(jax.jit, static_argnames=("cfg", "hm"))
+    def phase_analysis(bandpass, cfg=cfg, hm=hist_method):
+        sdevs, max_bins = {}, {}
+        for i in cfg.analysis_levels:
+            sd = stats.img_sdev(bandpass[i])
+            sdevs[i] = sd
+            _, max_bins[i] = stats.histogram_max(
+                stats.noise_histogram(sd, cfg, hm))
+        return sdevs, max_bins
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def phase_apply(bandpass, sdevs, max_bins, cfg=cfg):
+        cnr = noise.img_cnr(sdevs[cfg.cnr_level], max_bins[cfg.cnr_level], cfg)
+        exp_bandpass = []
+        for i in range(cfg.pyramid_levels):
+            lcf, hcf = cfg.contrast_factors[i]
+            px, py = curves.contrast_curve(
+                max_bins.get(i, jnp.zeros((), jnp.int32)), lcf, hcf, cfg)
+            if i in sdevs:
+                exp_bandpass.append(
+                    curves.contrast_curve_apply(bandpass[i], sdevs[i], px, py))
+            else:
+                exp_bandpass.append(bandpass[i] * jnp.float32(hcf))
+        nr = {}
+        for lvl in range(cfg.cnr_level):
+            lo_c, lo_f, hi_c, hi_f = cfg.noise_reduction_params[lvl]
+            nr[lvl] = noise.noise_reduction(exp_bandpass[lvl], cnr,
+                                            lo_c, lo_f, hi_c, hi_f, cfg)
+        return cnr, exp_bandpass, nr
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def phase_expand(downs, exp_bandpass, nr, cfg=cfg):
+        recon = downs[cfg.pyramid_levels - 1]
+        for i in range(cfg.pyramid_levels):
+            lvl = cfg.pyramid_levels - 1 - i
+            low = pyramid.upsample_smooth(recon, exp_bandpass[lvl].shape[-1])
+            band = nr[lvl] if lvl < cfg.cnr_level - 1 else exp_bandpass[lvl]
+            recon = low + band
+        return recon
+
+    @partial(jax.jit, static_argnames=("cfg", "hm"))
+    def phase_grad(recon, nrm, cnr, cfg=cfg, hm=hist_method):
+        gi = recon * recon if cfg.grad_with_linear_image else recon
+        ghist = gradation.gradation_histogram_fused_relevance(
+            gi, nrm, cnr, cfg, hm)
+        gpx, gpy, _ = gradation.gradation_curve(ghist, cfg)
+        graded = curves.curve_get_y(gpx, gpy, gi)
+        m = cfg.out_margin
+        return jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
+                        0.0, 255.0).astype(jnp.uint8)
+
+    t0 = time.perf_counter()
+    nrm = phase_norm(img)
+    fence(nrm)
+    times["norm"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    bandpass, downs = phase_reduce(nrm)
+    fence(bandpass[0])
+    times["red"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    sdevs, max_bins = phase_analysis(bandpass)
+    fence(*max_bins.values())
+    times["anly"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    cnr, exp_bandpass, nr = phase_apply(bandpass, sdevs, max_bins)
+    fence(exp_bandpass[0])
+    times["aply"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    recon = phase_expand(downs, exp_bandpass, nr)
+    fence(recon)
+    times["exp"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    out = phase_grad(recon, nrm, cnr)
+    out_np = np.asarray(out)
+    times["grad"] = (time.perf_counter() - t0) * 1e3
+    times["tot"] = sum(times.values())
+    return out_np, times

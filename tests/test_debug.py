@@ -73,3 +73,27 @@ def test_cli_batch(tmp_path, phantom_256):
     assert rc == 0
     assert (tmp_path / "out" / "img_0.bmp").exists()
     assert (tmp_path / "out" / "img_1.bmp").exists()
+
+
+def test_cli_timing_and_variants(tmp_path, phantom_256):
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
+    raw = tmp_path / "in.raw"
+    uio.save_raw(raw, phantom_256)
+    out = tmp_path / "out.bmp"
+    rc = cli.main(["process", "--size", "256", str(raw), str(out),
+                   "--timing", "--save-last-raw", str(tmp_path / "last.raw"),
+                   "--linear-gradation"])
+    assert rc == 0
+    assert out.exists()
+    assert (tmp_path / "last.raw").exists()
+    back = uio.load_raw(tmp_path / "last.raw", 256, transpose=False)
+    np.testing.assert_array_equal(back, phantom_256.T)  # CLI loads transposed
+
+
+def test_linear_gradation_variant_changes_output(phantom_256):
+    cfg_a = MusicaConfig(image_size=256)
+    cfg_b = MusicaConfig(image_size=256, grad_with_linear_image=True)
+    a = musica.process(phantom_256, cfg_a)
+    b = musica.process(phantom_256, cfg_b)
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b)

@@ -96,3 +96,11 @@ def test_quirks_off_is_close_but_not_identical(phantom_512):
     b = musica.process(phantom_512, cfg_c)
     # same algorithm family: outputs correlate strongly
     assert psnr(a, b) > 25.0
+
+
+def test_linear_gradation_matches_golden(phantom_512):
+    cfg = MusicaConfig(image_size=512, grad_with_linear_image=True)
+    g_out = golden.process(phantom_512, cfg)
+    j_out = musica.process(phantom_512, cfg)
+    assert psnr(j_out, g_out) > 55.0
+    assert np.mean(j_out == g_out) > 0.98
