@@ -104,6 +104,18 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    from .config import MusicaConfig
+    from .utils import io as uio
+    from .utils.report import write_report
+
+    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks)
+    raw = uio.load_raw(args.input, args.size, transpose=not args.no_transpose)
+    index = write_report(raw, args.out_dir, cfg, title=args.input)
+    print(f"report -> {index}")
+    return 0
+
+
 def cmd_campaign(args) -> int:
     from .testing.campaign import run_campaign
     run_campaign(out_dir=args.out_dir, image_size=args.size,
@@ -151,6 +163,13 @@ def main(argv=None) -> int:
     p.add_argument("pattern")
     p.add_argument("out_dir")
     p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("report", help="HTML gallery of all pipeline stages "
+                                      "(the GUI viewer's headless analogue)")
+    _add_common(p)
+    p.add_argument("input")
+    p.add_argument("out_dir")
+    p.set_defaults(fn=cmd_report)
 
     p = sub.add_parser("campaign", help="run the metamorphic-testing campaign")
     _add_common(p)

@@ -97,3 +97,18 @@ def test_linear_gradation_variant_changes_output(phantom_256):
     b = musica.process(phantom_256, cfg_b)
     assert a.shape == b.shape
     assert not np.array_equal(a, b)
+
+
+def test_cli_report(tmp_path, phantom_256):
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
+    raw = tmp_path / "in.raw"
+    uio.save_raw(raw, phantom_256)
+    rc = cli.main(["report", "--size", "256", str(raw),
+                   str(tmp_path / "rep")])
+    assert rc == 0
+    idx = tmp_path / "rep" / "index.html"
+    assert idx.exists()
+    text = idx.read_text()
+    assert "out.bmp" in text and "grad_hist" in text
+    assert (tmp_path / "rep" / "out.bmp").exists()
+    assert (tmp_path / "rep" / "cnr.bmp").exists()
