@@ -104,3 +104,17 @@ def test_linear_gradation_matches_golden(phantom_512):
     j_out = musica.process(phantom_512, cfg)
     assert psnr(j_out, g_out) > 55.0
     assert np.mean(j_out == g_out) > 0.98
+
+
+def test_odd_size_pipeline_matches_golden():
+    """600 px: ragged pyramid (600,300,150,75,38,19,10,5,3,2), noise-hist
+    coverage quirk (512 < 600), tiny-level mirror OOB smooths."""
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing.phantoms import synthetic_radiograph
+    img = synthetic_radiograph(600, "pelvis")
+    cfg = MusicaConfig(image_size=600)
+    assert cfg.hist_coverage == 512
+    g_out = golden.process(img, cfg)
+    j_out = musica.process(img, cfg)
+    assert j_out.shape == g_out.shape == (580, 580)
+    assert psnr(j_out, g_out) > 55.0
+    assert np.mean(j_out == g_out) > 0.98
