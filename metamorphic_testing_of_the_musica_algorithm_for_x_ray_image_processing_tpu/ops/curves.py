@@ -96,6 +96,39 @@ def curve_get_y(px: jnp.ndarray, py: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray
     return result
 
 
+def curve_get_y_monotone(px: jnp.ndarray, py: jnp.ndarray,
+                         x: jnp.ndarray) -> jnp.ndarray:
+    """curve_get_y for curves with PROVABLY non-decreasing px (the contrast
+    curves: every bezier control point lies between its segment endpoints).
+
+    searchsorted(side='left') reproduces the first-match semantics exactly:
+    an exact hit lands on the first duplicate; otherwise the unique enclosing
+    segment is used; x below px[0] or above px[-1] falls through to 0.0.
+    NOT valid for the gradation curve, whose second bezier segment can
+    overshoot t1 when ts > t1 (non-monotone px) -- use curve_get_y there.
+
+    NOTE measured on v5e: in the fused pipeline this is SLOWER than the
+    unrolled chain (searchsorted/gather breaks XLA elementwise fusion), so
+    the pipeline uses curve_get_y; this variant is kept for host-side/CPU
+    evaluation where it wins.
+    """
+    x = x.astype(F32)
+    n = px.shape[0]
+    idx = jnp.searchsorted(px, x, side="left")  # first i with px[i] >= x
+    exact = jnp.take(px, jnp.clip(idx, 0, n - 1)) == x
+    exact_y = jnp.take(py, jnp.clip(idx, 0, n - 1))
+    seg = jnp.clip(idx - 1, 0, n - 2)
+    x1 = jnp.take(px, seg)
+    x2 = jnp.take(px, seg + 1)
+    y1 = jnp.take(py, seg)
+    y2 = jnp.take(py, seg + 1)
+    m = (y2 - y1) / (x2 - x1)
+    val = m * (x - x1) + y1
+    in_range = (x >= px[0]) & (x <= px[n - 1])
+    out = jnp.where(exact, exact_y, val)
+    return jnp.where(in_range, out, F32(0.0))
+
+
 def contrast_curve_apply(bandpass: jnp.ndarray, sdev: jnp.ndarray,
                          px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
     """out = bandpass * curveY(sdev) (shaders/contrast_curve_apply.comp:38-63)."""

@@ -74,8 +74,10 @@ def _accumulate_fact(bins, w, out_ref, C: int, F: int):
     """Per-row factorized one-hot accumulation (see histogram.py).
 
     Counts must stay EXACT integers (the GLSL histogram is a uint32 atomic):
-    each per-row f32 matmul partial is bounded by K * max_weight < 2^24 and
-    therefore exact; cross-row and cross-step accumulation is int32.
+    each per-row f32 matmul partial is bounded by K * max_weight(100) < 2^24
+    and therefore exact; cross-row and cross-step accumulation is int32.
+    (Grouping rows into wider contractions via lane-concat is rejected by
+    Mosaic: "offset mismatch on non-concat dimension".)
     """
     rows = bins.shape[0]
     iota_c = jax.lax.broadcasted_iota(I32, (C, 1), 0)
@@ -145,29 +147,34 @@ def noise_hist_fused(sdev_cov: jnp.ndarray, n_bins: int = 2048,
 # gradation histogram
 # ----------------------------------------------------------------------
 
+def _tile_alive(v, tile: int):
+    """Survival mask for the gradation `return` semantics on a block of
+    whole 16-row tiles: within each tile, a pixel at offset (m, n) survives
+    iff no zero exists in any earlier tile column m' < m and none at rows
+    <= n of its own column.  The cross-row prefix resets at tile boundaries."""
+    zero = (v == 0.0).astype(I32)
+    in_col_dead = _prefix_or_in_group(zero, tile)
+    col_zero = _total_or_in_group(zero, tile)
+    rows = v.shape[0]
+    acc_rowwise = []
+    run = jnp.zeros((1, v.shape[1]), I32)
+    for m in range(rows):
+        if m % tile == 0:
+            run = jnp.zeros((1, v.shape[1]), I32)
+        acc_rowwise.append(run)
+        run = run | col_zero[m:m + 1, :]
+    prev = jnp.concatenate(acc_rowwise, axis=0)
+    return (1 - prev) * (1 - in_col_dead)
+
+
 def _grad_kernel(v_ref, r_ref, out_ref, *, C, F, n_bins, tile):
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    v = v_ref[:]          # [16, cov] -- one full tile row
+    v = v_ref[:]          # [R, cov] -- R/16 full tile rows
     rel = r_ref[:]
-    zero = (v == 0.0).astype(I32)
-    # within-row, within-group: pixels before the first zero survive
-    in_col_dead = _prefix_or_in_group(zero, tile)
-    # per-(row, group): does this tile column contain any zero?
-    col_zero = _total_or_in_group(zero, tile)
-    # exclusive prefix-OR across the 16 rows of the tile (sublane direction):
-    # row m is dead if any earlier row's column had a zero
-    rows = v.shape[0]
-    prev = jnp.zeros_like(col_zero)
-    acc_rowwise = []
-    run = jnp.zeros((1, v.shape[1]), I32)
-    for m in range(rows):
-        acc_rowwise.append(run)
-        run = run | col_zero[m:m + 1, :]
-    prev = jnp.concatenate(acc_rowwise, axis=0)
-    alive = (1 - prev) * (1 - in_col_dead)
+    alive = _tile_alive(v, tile)
 
     bins = (v * F32(n_bins)).astype(I32)
     wgt = (rel * F32(100.0)).astype(I32).astype(F32)
@@ -213,16 +220,7 @@ def _grad_relevant_kernel(v_ref, norm_ref, cnr_ref, out_ref, *,
     rel = jnp.where(ramp, ramp_val, jnp.where(solid, F32(1.0), F32(0.0)))
 
     # ---- gradation histogram semantics (as _grad_kernel) ----
-    zero = (v == 0.0).astype(I32)
-    in_col_dead = _prefix_or_in_group(zero, tile)
-    col_zero = _total_or_in_group(zero, tile)
-    run = jnp.zeros((1, cov), I32)
-    acc_rowwise = []
-    for m in range(rows):
-        acc_rowwise.append(run)
-        run = run | col_zero[m:m + 1, :]
-    prev = jnp.concatenate(acc_rowwise, axis=0)
-    alive = (1 - prev) * (1 - in_col_dead)
+    alive = _tile_alive(v, tile)
 
     bins = (v * F32(n_bins)).astype(I32)
     wgt = (rel * F32(100.0)).astype(I32).astype(F32)
@@ -245,24 +243,26 @@ def grad_hist_relevant_fused(recon_cov: jnp.ndarray, normalized_cov: jnp.ndarray
     C, F, _ = _factor(n_bins)
     cov = recon_cov.shape[-1]
     assert recon_cov.shape[-2] % tile == 0
-    # pre-expand CNR along lanes, and along rows to 8 rows per 16-row block
-    # (so its BlockSpec advances 8-aligned; callers guarantee 16 % scale == 0
-    # and scale >= 2)
+    rblk = next((r for r in (3 * tile, 2 * tile, tile)
+                 if recon_cov.shape[-2] % r == 0), tile)
+    # pre-expand CNR along lanes, and along rows so its per-step block stays
+    # 8-aligned (an MXU one-hot select is not bit-exact on v5e; callers
+    # guarantee tile % scale == 0)
     cnr = jnp.repeat(cnr, cnr_scale, axis=-1)[..., :cov]
     pre = max((8 * cnr_scale) // tile, 1)
     cnr = jnp.repeat(cnr, pre, axis=-2)
-    blk_rows = tile * pre // cnr_scale  # == 8 for scale >= 2
+    blk_rows = rblk * pre // cnr_scale
     kern = functools.partial(
         _grad_relevant_kernel, C=C, F=F, n_bins=n_bins, tile=tile,
         n_img=n_img, cnr_scale=cnr_scale, border=border, cnr_low=cnr_low,
         cnr_top=cnr_top, cnr_max=cnr_max, k_pow=k_pow, max_pixel=max_pixel)
     return pl.pallas_call(
         kern,
-        grid=(recon_cov.shape[-2] // tile,),
+        grid=(recon_cov.shape[-2] // rblk,),
         in_specs=[
-            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+            pl.BlockSpec((rblk, cov), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+            pl.BlockSpec((rblk, cov), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk_rows, cov), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -289,13 +289,15 @@ def grad_hist_fused(recon_cov: jnp.ndarray, relevant_cov: jnp.ndarray,
     C, F, _ = _factor(n_bins)
     cov = recon_cov.shape[-1]
     assert recon_cov.shape[-2] % tile == 0
+    rblk = next((r for r in (3 * tile, 2 * tile, tile)
+                 if recon_cov.shape[-2] % r == 0), tile)
     return pl.pallas_call(
         functools.partial(_grad_kernel, C=C, F=F, n_bins=n_bins, tile=tile),
-        grid=(recon_cov.shape[-2] // tile,),
+        grid=(recon_cov.shape[-2] // rblk,),
         in_specs=[
-            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+            pl.BlockSpec((rblk, cov), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cov), lambda i: (i, 0),
+            pl.BlockSpec((rblk, cov), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C, F), lambda i: (0, 0),

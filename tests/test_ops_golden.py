@@ -299,3 +299,20 @@ def test_gradation_curve_uint32_wraparound():
     np.testing.assert_allclose(np.asarray(jpx), gpx, rtol=0, atol=1e-7)
     for a, b in zip(jt, gt):
         assert abs(float(a) - b) < 1e-7
+
+
+def test_curve_get_y_monotone_matches_unrolled(rng):
+    """The searchsorted fast path must equal the first-match scan exactly on
+    the (monotone) contrast curves, including exact hits and out-of-range."""
+    cfg = MusicaConfig(image_size=512)
+    for max_bin in [0, 1, 57, 555, 2047]:
+        for lvl in [0, 1, 2, 5]:
+            lcf, hcf = cfg.contrast_factors[lvl]
+            px, py = curves.contrast_curve(jnp.int32(max_bin), lcf, hcf, cfg)
+            pxn = np.asarray(px)
+            xs = np.concatenate([
+                pxn, rng.uniform(0, 1, 400).astype(np.float32),
+                np.array([0.0, 1.0, 1.0000001, 2.0], np.float32)])
+            a = np.asarray(curves.curve_get_y(px, py, jnp.asarray(xs)))
+            b = np.asarray(curves.curve_get_y_monotone(px, py, jnp.asarray(xs)))
+            np.testing.assert_array_equal(a, b)
