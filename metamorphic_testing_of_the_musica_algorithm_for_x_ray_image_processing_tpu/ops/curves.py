@@ -129,7 +129,37 @@ def curve_get_y_monotone(px: jnp.ndarray, py: jnp.ndarray,
     return jnp.where(in_range, out, F32(0.0))
 
 
+def curve_get_y_sorted(px: jnp.ndarray, py: jnp.ndarray,
+                       x: jnp.ndarray) -> jnp.ndarray:
+    """curve_get_y for non-decreasing px, as disjoint half-open interval
+    selects (no `found` dependency chain, no gathers): exactly one interval
+    [px_i, px_{i+1}) matches, plus the closed right endpoint.
+
+    Equivalence with the first-match scan: between points the enclosing
+    half-open interval is unique; exact hits are resolved by a reverse-order
+    select sweep so the FIRST duplicate wins (degenerate curves -- e.g.
+    maxBin == 0 -- stack zero-width segments with different y); x outside
+    [px_0, px_last] yields 0.0 (the reference's fallthrough/ext-zero read).
+    Fewer VPU ops than curve_get_y and no cross-iteration dependency chain.
+    """
+    x = x.astype(F32)
+    n = px.shape[0]
+    le = [px[i] <= x for i in range(n)]
+    result = jnp.zeros(x.shape, F32)
+    for i in range(n - 1):
+        m = (py[i + 1] - py[i]) / (px[i + 1] - px[i])
+        val = m * (x - px[i]) + py[i]
+        result = jnp.where(le[i] & ~le[i + 1], val, result)
+    for i in reversed(range(n)):
+        result = jnp.where(x == px[i], py[i], result)
+    return result
+
+
 def contrast_curve_apply(bandpass: jnp.ndarray, sdev: jnp.ndarray,
                          px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
-    """out = bandpass * curveY(sdev) (shaders/contrast_curve_apply.comp:38-63)."""
-    return bandpass * curve_get_y(px, py, sdev)
+    """out = bandpass * curveY(sdev) (shaders/contrast_curve_apply.comp:38-63).
+
+    The contrast curves' px is provably non-decreasing (bezier controls lie
+    between segment endpoints), so the cheaper sorted-interval getY applies.
+    """
+    return bandpass * curve_get_y_sorted(px, py, sdev)

@@ -316,3 +316,19 @@ def test_curve_get_y_monotone_matches_unrolled(rng):
             a = np.asarray(curves.curve_get_y(px, py, jnp.asarray(xs)))
             b = np.asarray(curves.curve_get_y_monotone(px, py, jnp.asarray(xs)))
             np.testing.assert_array_equal(a, b)
+
+
+def test_curve_get_y_sorted_matches_unrolled(rng):
+    cfg = MusicaConfig(image_size=512)
+    for max_bin in [0, 1, 57, 555, 2047]:
+        for lvl in [0, 1, 2, 5]:
+            lcf, hcf = cfg.contrast_factors[lvl]
+            px, py = curves.contrast_curve(jnp.int32(max_bin), lcf, hcf, cfg)
+            pxn = np.asarray(px)
+            xs = np.concatenate([
+                pxn, pxn + 1e-8, pxn - 1e-8,
+                rng.uniform(0, 1, 400).astype(np.float32),
+                np.array([0.0, 1.0, 1.0000001, 2.0, -0.5], np.float32)])
+            a = np.asarray(curves.curve_get_y(px, py, jnp.asarray(xs)))
+            b = np.asarray(curves.curve_get_y_sorted(px, py, jnp.asarray(xs)))
+            np.testing.assert_array_equal(a, b)
