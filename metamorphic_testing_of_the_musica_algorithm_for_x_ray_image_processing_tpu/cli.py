@@ -53,6 +53,14 @@ def cmd_process(args) -> int:
     if args.save_last_raw:
         # saveLastRawImage analogue (src/vk_processing.cpp:2811-2815)
         uio.save_raw(args.save_last_raw, raw)
+    if args.cnr_out:
+        # CNR_DEBUG analogue (shaders/cnr_debug.comp): the CNR map as a
+        # grayscale BMP, the input format of `mean-cnr`
+        import jax
+        res = jax.jit(lambda im: musica.musica_forward(im, cfg)["cnr"]
+                      )(jnp.asarray(raw))
+        uio.save_bmp8(args.cnr_out, np.clip(
+            np.asarray(res) * 255.0, 0, 255).astype(np.uint8))
     t0 = time.perf_counter()
     if args.timing:
         # MEASURE_PROCESS analogue: per-phase fenced timing
@@ -152,6 +160,9 @@ def main(argv=None) -> int:
                    help="per-phase fenced timing (MEASURE_PROCESS analogue)")
     p.add_argument("--save-last-raw", default=None,
                    help="re-save the loaded raw (saveLastRawImage analogue)")
+    p.add_argument("--cnr-out", default=None,
+                   help="write the CNR map as BMP (CNR_DEBUG analogue; "
+                        "feeds the mean-cnr subcommand)")
     p.add_argument("--clahe", action="store_true",
                    help="enable the CLAHE gradation variant (ENABLE_CLAHE)")
     p.add_argument("--linear-gradation", action="store_true",

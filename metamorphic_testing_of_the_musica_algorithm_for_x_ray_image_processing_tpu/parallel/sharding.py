@@ -15,6 +15,11 @@ SURVEY.md section 2.5); its TPU-native scale-out is:
   jnp; no hand-written NCCL-style code, no manual ring schedules.
 
 The two compose on a 2-D ``(data, space)`` mesh.
+
+Note on single-chip batching: vmapping the pipeline over a batch on ONE chip
+degrades per-image cost ~2-4x (XLA's batched strided-slice layouts); prefer
+one image per chip with data parallelism across the mesh -- each device then
+runs the optimal single-image program.
 """
 
 from __future__ import annotations

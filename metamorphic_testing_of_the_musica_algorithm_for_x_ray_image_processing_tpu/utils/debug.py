@@ -60,6 +60,28 @@ def dump_intermediates(inter: Dict[str, object], out_dir: str) -> None:
                      render_histogram(np.asarray(inter["grad_hist"]),
                                       curve=(np.asarray(gpx), np.asarray(gpy)),
                                       markers=[float(t) for t in tvals]))
+    # per-level contrast-curve renders (contrast_curve_render.comp ->
+    # constrastCurveImageStates, one 512x128 panel per pyramid level)
+    for name, val in inter.items():
+        if name.startswith("contrast_curve_") and isinstance(val, tuple):
+            px, py = (np.asarray(v) for v in val)
+            save_bmp_rgb(out / f"{name}.bmp",
+                         render_curve(px, py, y_max=max(3.0, float(py.max()))))
+
+
+def render_curve(px: np.ndarray, py: np.ndarray, y_max: float = 3.0,
+                 width: int = 512, height: int = 128) -> np.ndarray:
+    """Render a (px, py) LUT as a 512x128 panel
+    (shaders/contrast_curve_render.comp)."""
+    img = np.zeros((height, width, 3), np.uint8)
+    gx = np.linspace(0, 1, width)
+    gy = np.interp(gx, px, py, left=0.0, right=0.0)
+    yy = np.clip(((1.0 - gy / y_max) * (height - 1)).astype(int), 0, height - 1)
+    img[yy, np.arange(width)] = (255, 255, 255)
+    # unit-gain line for orientation
+    uy = int(np.clip((1.0 - 1.0 / y_max) * (height - 1), 0, height - 1))
+    img[uy, ::4] = (90, 90, 90)
+    return img
 
 
 def render_histogram(hist: np.ndarray, curve=None, markers=(),

@@ -112,3 +112,31 @@ def test_cli_report(tmp_path, phantom_256):
     assert "out.bmp" in text and "grad_hist" in text
     assert (tmp_path / "rep" / "out.bmp").exists()
     assert (tmp_path / "rep" / "cnr.bmp").exists()
+
+
+def test_cli_cnr_out_feeds_mean_cnr(tmp_path, phantom_256):
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing import analysis
+    raw = tmp_path / "in.raw"
+    uio.save_raw(raw, phantom_256)
+    cnr_dir = tmp_path / "cnr"
+    cnr_dir.mkdir()
+    rc = cli.main(["process", "--size", "256", str(raw),
+                   str(tmp_path / "out.bmp"),
+                   "--cnr-out", str(cnr_dir / "case.bmp")])
+    assert rc == 0
+    res = analysis.mean_cnr_dir(str(cnr_dir))
+    assert len(res) == 1
+    assert 0.0 <= res[0][1] <= 256.0
+
+
+def test_contrast_curve_render_in_dump(tmp_path, phantom_256):
+    import jax, jax.numpy as jnp
+    cfg = MusicaConfig(image_size=256)
+    res = jax.jit(lambda im: musica.musica_forward(im, cfg, want_intermediates=True)
+                  )(jnp.asarray(phantom_256))
+    inter = {k: (v if isinstance(v, tuple) else np.asarray(v))
+             for k, v in res["intermediates"].items()}
+    inter["contrast_curve_0"] = tuple(np.asarray(v) for v in inter["contrast_curve_0"])
+    debug.dump_intermediates(inter, str(tmp_path))
+    assert (tmp_path / "contrast_curve_0.bmp").exists()
