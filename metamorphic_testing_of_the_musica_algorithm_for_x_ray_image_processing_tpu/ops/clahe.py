@@ -18,7 +18,7 @@ Undefined-behavior notes (documented deviations):
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 
 from ..config import MusicaConfig

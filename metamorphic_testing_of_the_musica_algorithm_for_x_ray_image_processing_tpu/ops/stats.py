@@ -17,7 +17,6 @@ its tile-column segment is zero.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

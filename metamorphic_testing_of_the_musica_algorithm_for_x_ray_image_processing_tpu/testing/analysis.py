@@ -65,6 +65,45 @@ def slope_analysis_file(csv_path: str, out_file: Optional[str] = None,
     return lines
 
 
+_DELTA_HEADER = [
+    "Alteration",
+    "delta altered vs original mse", "delta altered vs original ssim",
+    "delta altered vs original histogram distance",
+    "delta altered vs reference mse", "delta altered vs reference ssim",
+    "delta altered vs reference histogram distance",
+    "delta normalized altered vs reference mse",
+    "delta normalized altered vs reference ssim",
+    "delta normalized altered vs reference histogram distance",
+]
+
+
+def build_delta_table(robustness_rows: List[List]) -> List[List]:
+    """Campaign robustness CSV -> the delta table consumed by the slope
+    analysis (the committed ``test/reg_vs_dir_delta/results.csv`` format:
+    one row per alteration, 9 delta metrics averaged over anatomies).
+
+    Delta convention (inferred from the committed table): deviation from the
+    unaltered case's value -- 1 - value for the similarity metrics and the
+    normalized ratios, -value for the histogram distances (whose unaltered
+    baseline is 0), matching the sign pattern of results.csv.
+    """
+    from collections import defaultdict
+    groups = defaultdict(list)
+    order = []
+    for row in robustness_rows[1:]:
+        alteration = row[1]
+        if alteration not in groups:
+            order.append(alteration)
+        groups[alteration].append([float(v) for v in row[2:11]])
+    baselines = [1, 1, 0, 1, 1, 0, 1, 1, 0]
+    out = [_DELTA_HEADER]
+    for alteration in order:
+        mean = np.mean(np.array(groups[alteration]), axis=0)
+        deltas = [b - v for b, v in zip(baselines, mean)]
+        out.append([alteration, *deltas])
+    return out
+
+
 def mean_cnr_dir(in_dir: str, out_file: Optional[str] = None,
                  max_cnr: float = 256.0, margin: int = 0):
     """Mean CNR per BMP in a directory (test/mean_cnr/script.py)."""

@@ -21,7 +21,6 @@ Differences from the reference harness:
 from __future__ import annotations
 
 import csv
-import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -222,6 +221,14 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
     for name, rows in results.items():
         with open(out / name, "w", newline="") as f:
             csv.writer(f).writerows(rows)
+
+    # the delta table (reference: test/reg_vs_dir_delta/results.csv) feeding
+    # the slope analysis
+    from .analysis import build_delta_table
+    deltas = build_delta_table(results[R_CSV])
+    with open(out / "deltas.csv", "w", newline="") as f:
+        csv.writer(f, delimiter=";").writerows(deltas)
+    results["deltas.csv"] = deltas
 
     print(f"campaign: {len(anatomies)} anatomies, "
           f"{len(results[R_CSV]) - 1} cases, "

@@ -11,7 +11,6 @@ Mirrors the reference's two debug mechanisms:
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Dict
 

@@ -15,8 +15,8 @@ from pathlib import Path
 import numpy as np
 
 from ..config import MusicaConfig
-from .debug import dump_intermediates, render_histogram
-from .io import save_bmp8, save_bmp_rgb
+from .debug import dump_intermediates
+from .io import save_bmp8
 
 _SECTIONS = [
     ("Output", ["out"]),

@@ -147,3 +147,33 @@ def test_mean_cnr(tmp_path):
     res = analysis.mean_cnr_dir(str(tmp_path), out_file=str(tmp_path / "out.txt"))
     assert len(res) == 1
     assert abs(res[0][1] - 128.0) < 1e-9  # (128/256)*256
+
+
+def test_campaign_to_slope_analysis_end_to_end(tmp_path):
+    """Campaign -> deltas.csv (results.csv format) -> slope criterion,
+    the reference's full statistical post-analysis loop."""
+    campaign.run_campaign(out_dir=str(tmp_path), image_size=256,
+                          anatomies=["foot"], seed=7)
+    assert (tmp_path / "deltas.csv").exists()
+    lines = analysis.slope_analysis_file(str(tmp_path / "deltas.csv"),
+                                         out_file=str(tmp_path / "out.txt"))
+    # 6 families x 9 metrics = 54 slope rows
+    assert len(lines) == 54
+    assert (tmp_path / "out.txt").exists()
+    # noise MRs should show a robustness trend (growing delta with intensity)
+    flagged = [ln for ln in lines if "slope test=True" in ln]
+    assert len(flagged) >= 1
+
+
+def test_build_delta_table_shape():
+    rows = [campaign._ROBUSTNESS_HEADER,
+            ["a", "x_1", *([0.9] * 9)],
+            ["b", "x_1", *([0.7] * 9)],
+            ["a", "x_2", *([0.5] * 9)]]
+    table = analysis.build_delta_table(rows)
+    assert table[0][0] == "Alteration"
+    assert len(table) == 3  # header + x_1 + x_2
+    # x_1 averaged over anatomies: 1 - 0.8 = 0.2 for similarity columns
+    assert abs(table[1][1] - 0.2) < 1e-12
+    # histogram-distance columns: -value
+    assert abs(table[1][3] + 0.8) < 1e-12
