@@ -116,5 +116,71 @@ def upsample(img: jnp.ndarray, out_size: int) -> jnp.ndarray:
 
 def upsample_smooth(img: jnp.ndarray, out_size: int) -> jnp.ndarray:
     """Zero-stuff then smooth with x4 gain = the pyramid 'lowpass'/expand step
-    (shaders/img_upsample.comp + img_smooth_upsampled.comp)."""
-    return smooth(upsample(img, out_size), gain=4.0)
+    (shaders/img_upsample.comp + img_smooth_upsampled.comp).
+
+    Computed in POLYPHASE form: three of every five taps of the separable
+    smooth land on stuffed zeros, so each output phase (even/odd per axis)
+    is a 3- or 2-tap convolution directly on the small image.  This is
+    bit-exact to smooth(upsample(...)): the skipped terms are exact
+    ``w * 0.0`` products and ``x + 0.0`` additions, and the GLSL mirror()
+    preserves index parity (mirror(-t) = t, mirror(2(n-1)-t) flips around an
+    even pivot), so each phase's boundary extension maps back onto the small
+    grid.  ~2x less HBM traffic than materializing the stuffed grid.
+    """
+    n = out_size
+    src = -(-n // 2)
+    if n < 6 or img.shape[-1] < 3 or img.shape[-2] < 3:
+        return smooth(upsample(img, out_size), gain=4.0)
+    r = img[..., :src, :src]
+    wts = smooth_weights(img.dtype)
+    we = (wts[0], wts[2], wts[4])  # taps hitting even (data) positions
+    wo = (wts[1], wts[3])          # taps hitting odd (zero) positions
+    n_even = -(-n // 2)            # outputs at even coords
+    n_odd = n // 2                 # outputs at odd coords
+    # boundary extension on the small grid: up-grid mirror(-2) = 2 -> r[1];
+    # mirror(2j) for 2j > n-1 -> 2(n-1) - 2j, giving r[n-1-src] at j = src
+    edge = n - 1 - src
+
+    def ext(a, axis):
+        lo = jnp.take(a, jnp.asarray([1]), axis=axis)
+        hi = jnp.take(a, jnp.asarray([edge]), axis=axis)
+        return jnp.concatenate([lo, a, hi], axis=axis)
+
+    def phase_conv(a, axis):
+        """-> (even-phase, odd-phase) along `axis`."""
+        e = ext(a, axis)
+        sl = [slice(None)] * a.ndim
+
+        def take(start, count):
+            s = list(sl)
+            s[axis] = slice(start, start + count)
+            return e[tuple(s)]
+
+        ph0 = (we[0] * take(0, n_even) + we[1] * take(1, n_even)
+               + we[2] * take(2, n_even))
+        ph1 = wo[0] * take(1, n_odd) + wo[1] * take(2, n_odd)
+        return ph0, ph1
+
+    def interleave(a, b, axis, total):
+        """a provides even positions, b odd; |a| >= |b|."""
+        if b.shape[axis] < a.shape[axis]:
+            pad = [(0, 0)] * a.ndim
+            pad[axis] = (0, a.shape[axis] - b.shape[axis])
+            b = jnp.pad(b, pad)
+        st = jnp.stack([a, b], axis=axis + 1 if axis >= 0 else a.ndim + axis + 1)
+        shape = list(a.shape)
+        ax = axis if axis >= 0 else a.ndim + axis
+        shape[ax] = a.shape[ax] * 2
+        out = st.reshape(shape[:ax] + [shape[ax]] + shape[ax + 1:])
+        s = [slice(None)] * len(shape)
+        s[ax] = slice(0, total)
+        return out[tuple(s)]
+
+    # rows (axis -2), then columns (axis -1) of each row phase
+    r0, r1 = phase_conv(r, r.ndim - 2)
+    a00, a01 = phase_conv(r0, r.ndim - 1)
+    a10, a11 = phase_conv(r1, r.ndim - 1)
+    gain = jnp.asarray(4.0, img.dtype)
+    rows_even = interleave(a00, a01, -1, n) * gain
+    rows_odd = interleave(a10, a11, -1, n) * gain
+    return interleave(rows_even, rows_odd, -2, n)

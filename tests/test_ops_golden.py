@@ -332,3 +332,15 @@ def test_curve_get_y_sorted_matches_unrolled(rng):
             a = np.asarray(curves.curve_get_y(px, py, jnp.asarray(xs)))
             b = np.asarray(curves.curve_get_y_sorted(px, py, jnp.asarray(xs)))
             np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("n_out", [6, 7, 9, 12, 33, 64, 97, 256])
+def test_upsample_smooth_polyphase_bitexact(rng, n_out):
+    """The polyphase lowpass must be BIT-identical to smooth(upsample(...))
+    (skipped taps are exact zero products)."""
+    src = -(-n_out // 2)
+    img = rand_img(rng, src)
+    ref = np.asarray(pyramid.smooth(pyramid.upsample(jnp.asarray(img), n_out),
+                                    gain=4.0))
+    got = np.asarray(pyramid.upsample_smooth(jnp.asarray(img), n_out))
+    np.testing.assert_array_equal(got, ref)
