@@ -45,10 +45,7 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     inter: Dict[str, object] = {}
 
     # ---- phase 2: normalize -------------------------------------------------
-    s = normalize.img_sqrt(img_u16)
-    vmax = normalize.global_max(s, cfg.quirks)
-    vmin = normalize.global_min(s, cfg.quirks)
-    normalized = normalize.img_normalize(s, vmax, vmin, cfg.quirks)
+    normalized, vmax, vmin = normalize.normalize_from_u16(img_u16, cfg.quirks)
 
     # ---- phase 3: pyramid reduce -------------------------------------------
     bandpass = []
@@ -132,12 +129,11 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
         ghist = gradation.gradation_histogram_fused_relevance(
             grad_input, normalized, cnr, cfg, hist_method)
     gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
-    graded = curves.curve_get_y(gpx, gpy, grad_input)
 
+    graded = curves.curve_get_y(gpx, gpy, grad_input)
     m = cfg.out_margin
     out_u8 = jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
                       0.0, 255.0).astype(jnp.uint8)
-
     result = {"graded": graded, "out_u8": out_u8, "recon": recon, "cnr": cnr}
     if cfg.enable_clahe:
         result["clahe_graded"] = clahe_graded

@@ -344,3 +344,14 @@ def test_upsample_smooth_polyphase_bitexact(rng, n_out):
                                     gain=4.0))
     got = np.asarray(pyramid.upsample_smooth(jnp.asarray(img), n_out))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("n", [96, 100, 384, 512])
+def test_normalize_from_u16_bitexact(rng, n):
+    img = (rng.uniform(0, 65535, (n, n))).astype(np.uint16)
+    s = golden.img_sqrt(img)
+    vmax, vmin = golden.global_max(s), golden.global_min(s)
+    ref = golden.img_normalize(s, vmax, vmin)
+    got, jmax, jmin = normalize.normalize_from_u16(jnp.asarray(img))
+    assert float(jmax) == vmax and float(jmin) == vmin
+    np.testing.assert_array_equal(np.asarray(got), ref)
