@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import csv
 import time
-from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Optional, Sequence
 
@@ -49,18 +48,6 @@ _ROBUSTNESS_HEADER = [
     "normalized altered vs reference ssim",
     "normalized altered vs reference histogram distance",
 ]
-
-
-@dataclass
-class CaseResult:
-    anatomy: str
-    alteration: str
-    own_mse: float
-    own_ssim: float
-    own_hist: float
-    ref_mse: float
-    ref_ssim: float
-    ref_hist: float
 
 
 def _measure_row(alt, unalt, ref, ovd):
