@@ -85,15 +85,45 @@ def downsample(img: jnp.ndarray) -> jnp.ndarray:
 def smooth_downsample(img: jnp.ndarray) -> jnp.ndarray:
     """Fused smooth -> decimate: computes the 5x5 smooth only at even
     coordinates.  Bit-identical to ``downsample(smooth(img))`` because the
-    intermediate smooth image has no other consumer in the pipeline."""
+    intermediate smooth image has no other consumer in the pipeline.
+
+    Interior outputs read the source directly (no mirror-padded copy in
+    HBM); only the first/last output row/column touch the boundary and are
+    evaluated via the static mirror index map.
+    """
     h, w = img.shape[-2], img.shape[-1]
     dh, dw = -(-h // 2), -(-w // 2)
     wts = smooth_weights(img.dtype)
-    p = mirror_pad(img)
-    # rows at 2i + m  ->  strided slice p[m::2][:dh]
-    tmp = sum(wts[m] * p[..., m:m + 2 * dh - 1:2, :] for m in range(5))
-    out = sum(wts[n] * tmp[..., :, n:n + 2 * dw - 1:2] for n in range(5))
-    return out
+    if h < 8 or w < 8:
+        p = mirror_pad(img)
+        tmp = sum(wts[m] * p[..., m:m + 2 * dh - 1:2, :] for m in range(5))
+        return sum(wts[n] * tmp[..., :, n:n + 2 * dw - 1:2] for n in range(5))
+
+    def decimate_axis(a, axis, n, dn):
+        idx, valid = _mirror_idx(n)  # taps for positions -2..n+1
+
+        def tap_rows(positions):
+            """Sum_m w_m * a[mirror(positions[m])] (single rows, static)."""
+            total = None
+            for m, pos in enumerate(positions):
+                row = jnp.take(a, jnp.asarray([idx[pos + 2]]), axis=axis)
+                row = row * (wts[m] * jnp.asarray(valid[pos + 2], a.dtype))
+                total = row if total is None else total + row
+            return total
+
+        sl = [slice(None)] * a.ndim
+        first = tap_rows([-2, -1, 0, 1, 2])
+        last = tap_rows([2 * (dn - 1) + m - 2 for m in range(5)])
+        interior = None
+        for m in range(5):
+            s = list(sl)
+            s[axis] = slice(m, m + 2 * (dn - 2) - 1, 2)
+            term = wts[m] * a[tuple(s)]
+            interior = term if interior is None else interior + term
+        return jnp.concatenate([first, interior, last], axis=axis)
+
+    tmp = decimate_axis(img, img.ndim - 2, h, dh)
+    return decimate_axis(tmp, img.ndim - 1, w, dw)
 
 
 def upsample(img: jnp.ndarray, out_size: int) -> jnp.ndarray:
