@@ -50,7 +50,16 @@ def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
 def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
                     hist_method: str = "auto") -> jnp.ndarray:
     """Batched pipeline with batch sharded over ``data`` and image rows over
-    ``space``.  Input [B, n, n] uint16, output [B, n-2m, n-2m] uint8."""
+    ``space``.  Input [B, n, n] uint16, output [B, n-2m, n-2m] uint8.
+
+    With ``space > 1`` the image axes are partitioned, and GSPMD cannot
+    partition the hand-written Pallas histogram kernels -- the XLA
+    factorized-one-hot path ('fact') is substituted automatically (identical
+    integer counts, a few ms slower); with pure data parallelism each device
+    runs the full single-image program including the Pallas kernels.
+    """
+    if hist_method == "auto" and mesh.shape["space"] > 1:
+        hist_method = "fact"
     in_spec = NamedSharding(mesh, P("data", "space", None))
     out_spec = NamedSharding(mesh, P("data", "space", None))
 
@@ -75,7 +84,9 @@ def throughput_step(cfg: MusicaConfig, mesh: Mesh, batch_per_device: int = 1):
     @partial(jax.jit, in_shardings=(in_spec,),
              out_shardings=NamedSharding(mesh, P()))
     def step(b):
-        out = jax.vmap(lambda im: musica.musica_forward(im, cfg)["out_u8"])(b)
+        hm = "fact" if mesh.shape["space"] > 1 else "auto"
+        out = jax.vmap(
+            lambda im: musica.musica_forward(im, cfg, hm)["out_u8"])(b)
         return out.astype(jnp.uint32).sum()
 
     rng = np.random.default_rng(0)
