@@ -130,7 +130,7 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             grad_input, normalized, cnr, cfg, hist_method)
     gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
 
-    graded = curves.curve_get_y(gpx, gpy, grad_input)
+    graded = curves.curve_get_y_adaptive(gpx, gpy, grad_input)
     m = cfg.out_margin
     out_u8 = jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
                       0.0, 255.0).astype(jnp.uint8)

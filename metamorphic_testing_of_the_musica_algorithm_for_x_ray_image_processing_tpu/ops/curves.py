@@ -96,63 +96,48 @@ def curve_get_y(px: jnp.ndarray, py: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray
     return result
 
 
-def curve_get_y_monotone(px: jnp.ndarray, py: jnp.ndarray,
-                         x: jnp.ndarray) -> jnp.ndarray:
-    """curve_get_y for curves with PROVABLY non-decreasing px (the contrast
-    curves: every bezier control point lies between its segment endpoints).
-
-    searchsorted(side='left') reproduces the first-match semantics exactly:
-    an exact hit lands on the first duplicate; otherwise the unique enclosing
-    segment is used; x below px[0] or above px[-1] falls through to 0.0.
-    NOT valid for the gradation curve, whose second bezier segment can
-    overshoot t1 when ts > t1 (non-monotone px) -- use curve_get_y there.
-
-    NOTE measured on v5e: in the fused pipeline this is SLOWER than the
-    unrolled chain (searchsorted/gather breaks XLA elementwise fusion), so
-    the pipeline uses curve_get_y; this variant is kept for host-side/CPU
-    evaluation where it wins.
-    """
-    x = x.astype(F32)
-    n = px.shape[0]
-    idx = jnp.searchsorted(px, x, side="left")  # first i with px[i] >= x
-    exact = jnp.take(px, jnp.clip(idx, 0, n - 1)) == x
-    exact_y = jnp.take(py, jnp.clip(idx, 0, n - 1))
-    seg = jnp.clip(idx - 1, 0, n - 2)
-    x1 = jnp.take(px, seg)
-    x2 = jnp.take(px, seg + 1)
-    y1 = jnp.take(py, seg)
-    y2 = jnp.take(py, seg + 1)
-    m = (y2 - y1) / (x2 - x1)
-    val = m * (x - x1) + y1
-    in_range = (x >= px[0]) & (x <= px[n - 1])
-    out = jnp.where(exact, exact_y, val)
-    return jnp.where(in_range, out, F32(0.0))
-
-
 def curve_get_y_sorted(px: jnp.ndarray, py: jnp.ndarray,
                        x: jnp.ndarray) -> jnp.ndarray:
-    """curve_get_y for non-decreasing px, as disjoint half-open interval
-    selects (no `found` dependency chain, no gathers): exactly one interval
-    [px_i, px_{i+1}) matches, plus the closed right endpoint.
+    """curve_get_y for non-decreasing px, as disjoint LEFT-open interval
+    selects (no `found` dependency chain, no gathers).
 
-    Equivalence with the first-match scan: between points the enclosing
-    half-open interval is unique; exact hits are resolved by a reverse-order
-    select sweep so the FIRST duplicate wins (degenerate curves -- e.g.
-    maxBin == 0 -- stack zero-width segments with different y); x outside
-    [px_0, px_last] yields 0.0 (the reference's fallthrough/ext-zero read).
+    Equivalence with the first-match scan on sorted px: the scan's exact-x
+    branch only ever fires at i == 0 (for any later j, segment j-1's test
+    ``px[j-1] <= x <= px[j]`` catches ``x == px[j]`` first and returns the
+    LEFT segment's lerp -- note: NOT py[j]); every other x falls in exactly
+    one interval (px_i, px_{i+1}] (zero-width duplicate segments never
+    match); x outside (px_0, px_last] yields 0.0 except x == px_0 -> py_0
+    (the reference's fallthrough/ext-zero read).
     Fewer VPU ops than curve_get_y and no cross-iteration dependency chain.
     """
     x = x.astype(F32)
     n = px.shape[0]
-    le = [px[i] <= x for i in range(n)]
-    result = jnp.zeros(x.shape, F32)
+    lt = [px[i] < x for i in range(n - 1)]
+    ge = [px[i] >= x for i in range(n)]
+    result = jnp.where(x == px[0], py[0], F32(0.0))
     for i in range(n - 1):
         m = (py[i + 1] - py[i]) / (px[i + 1] - px[i])
         val = m * (x - px[i]) + py[i]
-        result = jnp.where(le[i] & ~le[i + 1], val, result)
-    for i in reversed(range(n)):
-        result = jnp.where(x == px[i], py[i], result)
+        result = jnp.where(lt[i] & ge[i + 1], val, result)
     return result
+
+
+def curve_get_y_adaptive(px: jnp.ndarray, py: jnp.ndarray,
+                         x: jnp.ndarray) -> jnp.ndarray:
+    """curve_get_y that switches to the cheaper sorted-interval evaluation
+    when px is non-decreasing at runtime (lax.cond executes one branch).
+
+    The gradation curve is usually monotone; its second bezier segment can
+    overshoot t1 when ts > t1, in which case only the first-match chain is
+    faithful.
+    """
+    import jax
+    monotone = jnp.all(px[1:] >= px[:-1])
+    return jax.lax.cond(
+        monotone,
+        lambda args: curve_get_y_sorted(*args),
+        lambda args: curve_get_y(*args),
+        (px, py, x))
 
 
 def contrast_curve_apply(bandpass: jnp.ndarray, sdev: jnp.ndarray,

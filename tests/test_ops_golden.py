@@ -301,23 +301,6 @@ def test_gradation_curve_uint32_wraparound():
         assert abs(float(a) - b) < 1e-7
 
 
-def test_curve_get_y_monotone_matches_unrolled(rng):
-    """The searchsorted fast path must equal the first-match scan exactly on
-    the (monotone) contrast curves, including exact hits and out-of-range."""
-    cfg = MusicaConfig(image_size=512)
-    for max_bin in [0, 1, 57, 555, 2047]:
-        for lvl in [0, 1, 2, 5]:
-            lcf, hcf = cfg.contrast_factors[lvl]
-            px, py = curves.contrast_curve(jnp.int32(max_bin), lcf, hcf, cfg)
-            pxn = np.asarray(px)
-            xs = np.concatenate([
-                pxn, rng.uniform(0, 1, 400).astype(np.float32),
-                np.array([0.0, 1.0, 1.0000001, 2.0], np.float32)])
-            a = np.asarray(curves.curve_get_y(px, py, jnp.asarray(xs)))
-            b = np.asarray(curves.curve_get_y_monotone(px, py, jnp.asarray(xs)))
-            np.testing.assert_array_equal(a, b)
-
-
 def test_curve_get_y_sorted_matches_unrolled(rng):
     cfg = MusicaConfig(image_size=512)
     for max_bin in [0, 1, 57, 555, 2047]:
@@ -326,7 +309,8 @@ def test_curve_get_y_sorted_matches_unrolled(rng):
             px, py = curves.contrast_curve(jnp.int32(max_bin), lcf, hcf, cfg)
             pxn = np.asarray(px)
             xs = np.concatenate([
-                pxn, pxn + 1e-8, pxn - 1e-8,
+                pxn, np.nextafter(pxn, 2, dtype=np.float32),
+                np.nextafter(pxn, -1, dtype=np.float32),
                 rng.uniform(0, 1, 400).astype(np.float32),
                 np.array([0.0, 1.0, 1.0000001, 2.0, -0.5], np.float32)])
             a = np.asarray(curves.curve_get_y(px, py, jnp.asarray(xs)))
@@ -355,3 +339,35 @@ def test_normalize_from_u16_bitexact(rng, n):
     got, jmax, jmin = normalize.normalize_from_u16(jnp.asarray(img))
     assert float(jmax) == vmax and float(jmin) == vmin
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_curve_get_y_adaptive_nonmonotone_fallback(rng):
+    """A gradation curve whose second bezier segment overshoots t1 (ts > t1)
+    has non-monotone px; the adaptive lookup must then match the first-match
+    chain."""
+    ta, ts, t1 = 0.3, 0.467, 0.32  # control beyond the endpoint
+    seg1 = curves.bezier_points((0.0, 0.0), (0.13, 0.0), (ta, 0.5), False)
+    seg2 = curves.bezier_points((ta, 0.5), (ts, 1.0), (t1, 1.0), False)
+    px = jnp.concatenate([jnp.zeros((1,), jnp.float32), seg1[0], seg2[0],
+                          jnp.ones((1,), jnp.float32)])
+    py = jnp.concatenate([jnp.zeros((1,), jnp.float32), seg1[1], seg2[1],
+                          jnp.ones((1,), jnp.float32)])
+    pxn = np.asarray(px)
+    assert (np.diff(pxn) < 0).any(), "test needs a non-monotone curve"
+    xs = jnp.asarray(np.concatenate(
+        [pxn, rng.uniform(0, 1, 500).astype(np.float32)]))
+    a = np.asarray(curves.curve_get_y(px, py, xs))
+    b = np.asarray(curves.curve_get_y_adaptive(px, py, xs))
+    # both run the chain; XLA FMA contraction may differ per fusion context
+    np.testing.assert_allclose(a, b, rtol=0, atol=3e-7)
+
+
+def test_curve_get_y_adaptive_monotone(rng):
+    cfg = MusicaConfig(image_size=512)
+    lcf, hcf = cfg.contrast_factors[1]
+    px, py = curves.contrast_curve(jnp.int32(400), lcf, hcf, cfg)
+    xs = jnp.asarray(rng.uniform(0, 1.1, 800).astype(np.float32))
+    a = np.asarray(curves.curve_get_y(px, py, xs))
+    b = np.asarray(curves.curve_get_y_adaptive(px, py, xs))
+    # sorted-interval picks the identical segment; allow FMA-contraction ulps
+    np.testing.assert_allclose(a, b, rtol=0, atol=3e-7)
