@@ -148,7 +148,7 @@ def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
         v = coverage_view(sdev, cfg)
         if v is None:
             return jnp.zeros((cfg.noise_histogram_bins,), jnp.int32)
-        rows = next((r for r in (48, 32, 16, 8) if v.shape[-2] % r == 0), 1)
+        rows = next((r for r in (96, 48, 32, 16, 8) if v.shape[-2] % r == 0), 1)
         return fused_hist.noise_hist_fused(
             v, cfg.noise_histogram_bins, cfg.histogram_area_size,
             cfg.max_noise_value, rows=rows,
