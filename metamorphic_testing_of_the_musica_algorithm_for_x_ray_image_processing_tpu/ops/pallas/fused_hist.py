@@ -243,7 +243,7 @@ def grad_hist_relevant_fused(recon_cov: jnp.ndarray, normalized_cov: jnp.ndarray
     C, F, _ = _factor(n_bins)
     cov = recon_cov.shape[-1]
     assert recon_cov.shape[-2] % tile == 0
-    rblk = next((r for r in (3 * tile, 2 * tile, tile)
+    rblk = next((r for r in (6 * tile, 3 * tile, 2 * tile, tile)
                  if recon_cov.shape[-2] % r == 0), tile)
     # pre-expand CNR along lanes, and along rows so its per-step block stays
     # 8-aligned (an MXU one-hot select is not bit-exact on v5e; callers
@@ -289,7 +289,7 @@ def grad_hist_fused(recon_cov: jnp.ndarray, relevant_cov: jnp.ndarray,
     C, F, _ = _factor(n_bins)
     cov = recon_cov.shape[-1]
     assert recon_cov.shape[-2] % tile == 0
-    rblk = next((r for r in (3 * tile, 2 * tile, tile)
+    rblk = next((r for r in (6 * tile, 3 * tile, 2 * tile, tile)
                  if recon_cov.shape[-2] % r == 0), tile)
     return pl.pallas_call(
         functools.partial(_grad_kernel, C=C, F=F, n_bins=n_bins, tile=tile),
