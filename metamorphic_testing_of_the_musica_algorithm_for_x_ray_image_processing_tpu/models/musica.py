@@ -48,15 +48,9 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     normalized, vmax, vmin = normalize.normalize_from_u16(img_u16, cfg.quirks)
 
     # ---- phase 3: pyramid reduce -------------------------------------------
-    bandpass = []
-    downs = []
-    cur = normalized
-    for i in range(L):
-        dn = pyramid.smooth_downsample(cur)
-        low = pyramid.upsample_smooth(dn, cur.shape[-1])
-        bandpass.append(cur - low)
-        downs.append(dn)
-        cur = dn
+    # parity-plane ladder (ops/pyramid.py::reduce_ladder): bit-identical to
+    # smooth_downsample + upsample_smooth per level, unit-stride stencils
+    bandpass, downs = pyramid.reduce_ladder(normalized, L)
 
     # ---- phase 4: analysis --------------------------------------------------
     sdevs: Dict[int, jnp.ndarray] = {}
@@ -220,13 +214,7 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
 
     @partial(jax.jit, static_argnames=("cfg",))
     def phase_reduce(nrm, cfg=cfg):
-        bandpass, downs, cur = [], [], nrm
-        for _ in range(cfg.pyramid_levels):
-            dn = pyramid.smooth_downsample(cur)
-            bandpass.append(cur - pyramid.upsample_smooth(dn, cur.shape[-1]))
-            downs.append(dn)
-            cur = dn
-        return bandpass, downs
+        return pyramid.reduce_ladder(nrm, cfg.pyramid_levels)
 
     @partial(jax.jit, static_argnames=("cfg", "hm"))
     def phase_analysis(bandpass, cfg=cfg, hm=hist_method):
@@ -274,7 +262,7 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
         ghist = gradation.gradation_histogram_fused_relevance(
             gi, nrm, cnr, cfg, hm)
         gpx, gpy, _ = gradation.gradation_curve(ghist, cfg)
-        graded = curves.curve_get_y(gpx, gpy, gi)
+        graded = curves.curve_get_y_adaptive(gpx, gpy, gi)
         m = cfg.out_margin
         return jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
                         0.0, 255.0).astype(jnp.uint8)

@@ -109,6 +109,10 @@ def curve_get_y_sorted(px: jnp.ndarray, py: jnp.ndarray,
     match); x outside (px_0, px_last] yields 0.0 except x == px_0 -> py_0
     (the reference's fallthrough/ext-zero read).
     Fewer VPU ops than curve_get_y and no cross-iteration dependency chain.
+    (A value-carrying tournament tree was tried and measured SLOWER on v5e
+    -- 0.72 -> 2.8 ms for the tone map: XLA materializes the tree's carried
+    intermediates instead of fusing them into one elementwise pass; see
+    docs/PERFORMANCE.md negative results.)
     """
     x = x.astype(F32)
     n = px.shape[0]
