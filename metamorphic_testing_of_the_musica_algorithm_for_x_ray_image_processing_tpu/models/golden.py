@@ -497,6 +497,124 @@ def apply_gradation_curve(recon: np.ndarray, px: np.ndarray, py: np.ndarray) -> 
 
 
 # ----------------------------------------------------------------------
+# CLAHE variant (ENABLE_CLAHE, include/vk_processing.h:13 -- compiled out
+# by default; wiring at src/vk_processing.cpp:2470-2489: consumes the FINAL
+# reconstruction expandImageStates[L-1] (:1903-1906) plus the relevance
+# image, and writes its own claheGradedImageState (:1968-1973) -- it never
+# feeds the normal gradation output, even under GRAD_WITH_LINEAR_IMAGE)
+# ----------------------------------------------------------------------
+
+def clahe_histograms(recon: np.ndarray, relevant: np.ndarray,
+                     cfg: MusicaConfig) -> np.ndarray:
+    """shaders/clahe_histogram.comp:13-45: per 4x4 tile, a 256-bin histogram
+    of pixels with relevant == 1.0; bin = int(pixel * (bins-1) + 0.5)
+    (truncation; OOB bins are dropped atomics); tile =
+    uint(coord / imageSize * TILES_COUNT)."""
+    t, bins = cfg.clahe_tiles, cfg.clahe_bins
+    n = recon.shape[0]
+    h = np.zeros((t, t, bins), np.int64)
+    tile_of = [int(F(F(x) / F(n)) * F(t)) for x in range(n)]
+    for x in range(n):
+        tx = tile_of[x]
+        for y in range(n):
+            if relevant[x, y] == 1.0:
+                b = int(F(recon[x, y]) * (bins - 1) + F(0.5))
+                if 0 <= b < bins:
+                    h[tx, tile_of[y], b] += 1
+    return h
+
+
+def clahe_curves(hists: np.ndarray, cfg: MusicaConfig):
+    """shaders/clahe_grad_curve.comp:22-97: per tile, normalize by the tile's
+    total count (0/0 -> nan like the GLSL), clip at 1/32 accumulating the
+    excess in loop order, redistribute uniformly, then a SEQUENTIAL f32
+    cumulative sum.  Returns (px[bins], py[t, t, bins]); the shared x grid is
+    i/bins with the last point clamped to 1.0."""
+    t, bins = cfg.clahe_tiles, cfg.clahe_bins
+    px = (np.arange(bins, dtype=F) * F(1.0 / bins)).astype(F)
+    px[bins - 1] = 1.0
+    py = np.zeros((t, t, bins), F)
+    clip = F(cfg.clahe_clip_limit)
+    for i in range(t):
+        for j in range(t):
+            count = int(hists[i, j].sum())
+            with np.errstate(divide="ignore", invalid="ignore"):
+                y = (hists[i, j].astype(F) / F(count)).astype(F)
+            clip_count = F(0.0)
+            for k in range(bins):
+                if y[k] > clip:
+                    clip_count = F(clip_count + F(y[k] - clip))
+                    y[k] = clip
+            clip_add = F(clip_count / F(bins))
+            y = (y + clip_add).astype(F)
+            curr = F(0.0)
+            for k in range(bins):
+                curr = F(curr + y[k])
+                py[i, j, k] = curr
+    return px, py
+
+
+def clahe_apply(recon: np.ndarray, px: np.ndarray, py: np.ndarray,
+                cfg: MusicaConfig) -> np.ndarray:
+    """shaders/clahe_grad_curve_apply.comp:38-160: bilinear blend of the
+    getY values of up to 4 neighboring tile LUTs, weighted by
+    (1 - |tileCenter - coord|) per axis, accumulated in the shader's
+    tileCentPos order (base, +x, +y, +xy).
+
+    UB note: at edge pixels ``uint(floor(baseTileCoord + sign(diff)))``
+    converts a negative float to uint (undefined in GLSL); like
+    ops/clahe.py we take the saturate-to-0 behavior, which makes the edge
+    neighbor collapse onto the base tile.
+    """
+    t, bins = cfg.clahe_tiles, cfg.clahe_bins
+    n = recon.shape[0]
+    ts = n // t  # GRID_TILE_SIZE: integer division (:44)
+    # evaluate every tile LUT over the image with the exact getY walk
+    maps = np.empty((t, t) + recon.shape, F)
+    for i in range(t):
+        for j in range(t):
+            maps[i, j] = curve_get_y(px, py[i, j], recon)
+
+    coord = (np.arange(n, dtype=F) / F(ts)).astype(F)       # texel / tileSize
+    base = (np.floor(coord).astype(F) + F(0.5)).astype(F)   # uint(c) + 0.5
+    diff = (coord - base).astype(F)
+    sgn = np.sign(diff).astype(np.int64)
+    base_i = np.floor(base).astype(np.int64)
+    nb_i = np.clip(base_i + sgn, 0, t - 1)                  # saturating uint
+    base_i = np.clip(base_i, 0, t - 1)
+    w_base = (F(1.0) - np.abs(base - coord)).astype(F)
+    nb_center = ((base_i + sgn).astype(F) + F(0.5)).astype(F)
+    w_nb = (F(1.0) - np.abs(nb_center - coord)).astype(F)
+    zero = diff == 0.0
+
+    out = np.empty_like(recon, dtype=F)
+    cols = np.arange(n)
+    for x in range(n):
+        bb = maps[base_i[x]][base_i, x, cols]
+        nb = maps[nb_i[x]][base_i, x, cols]
+        bn = maps[base_i[x]][nb_i, x, cols]
+        nn = maps[nb_i[x]][nb_i, x, cols]
+        # shader accumulation order: bb, +x(nb), +y(bn), +xy(nn)
+        v4 = ((w_base[x] * w_base * bb + w_nb[x] * w_base * nb)
+              + w_base[x] * w_nb * bn) + w_nb[x] * w_nb * nn
+        vx0 = w_base * bb + w_nb * bn          # diff.x == 0: blend along y
+        vy0 = w_base[x] * bb + w_nb[x] * nb    # diff.y == 0: blend along x
+        row = np.where(zero[x] & zero, bb,
+                       np.where(zero[x], vx0, np.where(zero, vy0, v4)))
+        out[x] = row.astype(F)
+    return out
+
+
+def clahe_grade(recon: np.ndarray, relevant: np.ndarray,
+                cfg: MusicaConfig) -> np.ndarray:
+    """Full CLAHE gradation chain (histograms -> clipped CDFs -> blended
+    apply), the golden oracle for ops/clahe.py."""
+    h = clahe_histograms(recon, relevant, cfg)
+    px, py = clahe_curves(h, cfg)
+    return clahe_apply(recon, px, py, cfg)
+
+
+# ----------------------------------------------------------------------
 # output
 # ----------------------------------------------------------------------
 

@@ -124,10 +124,16 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             grad_input, normalized, cnr, cfg, hist_method)
     gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
 
-    graded = curves.curve_get_y_adaptive(gpx, gpy, grad_input)
+    # Tone map crop-FIRST (elementwise, so cropping commutes bit-exactly) and
+    # fuse the u8 quantization into the adaptive getY's lax.cond branches:
+    # measured 0.81 -> 0.39 ms at 3072^2 on v5e (the full-res `graded`
+    # intermediate otherwise materializes in HBM on both sides of the cond).
     m = cfg.out_margin
-    out_u8 = jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
-                      0.0, 255.0).astype(jnp.uint8)
+    out_u8 = curves.curve_apply_u8_adaptive(
+        gpx, gpy, grad_input[..., m:-m, m:-m])
+    # full-res graded image: API/debug surface only -- XLA dead-code
+    # eliminates it for callers that consume just out_u8
+    graded = curves.curve_get_y_adaptive(gpx, gpy, grad_input)
     result = {"graded": graded, "out_u8": out_u8, "recon": recon, "cnr": cnr}
     if cfg.enable_clahe:
         result["clahe_graded"] = clahe_graded
@@ -169,8 +175,16 @@ def process_jit(img_u16: jnp.ndarray, cfg: MusicaConfig,
 @partial(jax.jit, static_argnames=("cfg", "hist_method"))
 def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
                       hist_method: str = "auto") -> jnp.ndarray:
-    """vmapped batch entry: [B, n, n] uint16 -> [B, n-2m, n-2m] uint8."""
-    return jax.vmap(lambda im: musica_forward(im, cfg, hist_method)["out_u8"])(imgs_u16)
+    """Batch entry: [B, n, n] uint16 -> [B, n-2m, n-2m] uint8.
+
+    Uses ``lax.map`` (sequential per-image execution of the optimal
+    single-image program), NOT ``vmap``: batching the strided pyramid
+    slices degrades per-image throughput 2-4x on v5e, while lax.map
+    amortizes dispatch and runs at 1.09x the single-image rate at B=4
+    (25.9 -> 14.8 ms, 2.55 GPix/s; scripts/exp_batch.py, docs/PERFORMANCE.md).
+    """
+    return jax.lax.map(
+        lambda im: musica_forward(im, cfg, hist_method)["out_u8"], imgs_u16)
 
 
 def process(img_u16, cfg: Optional[MusicaConfig] = None,
@@ -262,10 +276,8 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
         ghist = gradation.gradation_histogram_fused_relevance(
             gi, nrm, cnr, cfg, hm)
         gpx, gpy, _ = gradation.gradation_curve(ghist, cfg)
-        graded = curves.curve_get_y_adaptive(gpx, gpy, gi)
         m = cfg.out_margin
-        return jnp.clip(jnp.trunc(F32(255.0) * graded[..., m:-m, m:-m]),
-                        0.0, 255.0).astype(jnp.uint8)
+        return curves.curve_apply_u8_adaptive(gpx, gpy, gi[..., m:-m, m:-m])
 
     t0 = time.perf_counter()
     nrm = phase_norm(img)

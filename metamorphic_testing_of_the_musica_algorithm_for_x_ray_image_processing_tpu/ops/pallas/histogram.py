@@ -38,7 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _factor(n_bins: int):
-    """Split n_bins (padded to a multiple of 32) into (coarse, fine=32-128)."""
+    """Split n_bins into (coarse C, fine F, padded).
+
+    Measured on v5e (scripts/exp_hist.py): the kernel cost is dominated by
+    the weighted coarse one-hot construction, and C=32 is the sweet spot --
+    2048 bins as (32, 64) runs the fused noise kernel in 0.44 ms vs 0.88 ms
+    for the old (16, 128) split and 0.86 ms for (64, 32); 1024 as (32, 32)
+    is 0.60 vs 0.90 ms in the gradation kernel.  Counts are bit-identical
+    for any factorization (hist[b] lives at (b // F, b % F)).
+    """
+    if n_bins % 32 == 0 and 32 <= n_bins // 32 <= 128:
+        return 32, n_bins // 32, n_bins
     fine = 128
     while fine > 32 and n_bins % fine != 0:
         fine //= 2

@@ -63,6 +63,20 @@ def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
     in_spec = NamedSharding(mesh, P("data", "space", None))
     out_spec = NamedSharding(mesh, P("data", "space", None))
 
+    if mesh.shape["space"] == 1:
+        # pure data parallelism: shard_map + per-device lax.map runs the
+        # optimal SINGLE-image program on each chip and loops any extra
+        # local batch sequentially (vmap's batched strided-slice layouts
+        # cost 2-4x per image; lax.map measures 1.09x the single-image
+        # rate at B=4, scripts/exp_batch.py)
+        run = jax.jit(jax.shard_map(
+            lambda b: jax.lax.map(
+                lambda im: musica.musica_forward(im, cfg, hist_method)["out_u8"],
+                b),
+            mesh=mesh, in_specs=P("data", None, None),
+            out_specs=P("data", None, None)))
+        return run(jax.device_put(imgs_u16, in_spec))
+
     @partial(jax.jit, static_argnames=("cfg", "hist_method"),
              in_shardings=(in_spec,), out_shardings=out_spec)
     def run(b, cfg=cfg, hist_method=hist_method):
@@ -81,13 +95,21 @@ def throughput_step(cfg: MusicaConfig, mesh: Mesh, batch_per_device: int = 1):
     b_global = batch_per_device * mesh.shape["data"]
     in_spec = NamedSharding(mesh, P("data", "space", None))
 
-    @partial(jax.jit, in_shardings=(in_spec,),
-             out_shardings=NamedSharding(mesh, P()))
-    def step(b):
-        hm = "fact" if mesh.shape["space"] > 1 else "auto"
-        out = jax.vmap(
-            lambda im: musica.musica_forward(im, cfg, hm)["out_u8"])(b)
-        return out.astype(jnp.uint32).sum()
+    if mesh.shape["space"] == 1:
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh, in_specs=P("data", None, None),
+                 out_specs=P())
+        def step(b):
+            out = jax.lax.map(
+                lambda im: musica.musica_forward(im, cfg)["out_u8"], b)
+            return jax.lax.psum(out.astype(jnp.uint32).sum(), "data")
+    else:
+        @partial(jax.jit, in_shardings=(in_spec,),
+                 out_shardings=NamedSharding(mesh, P()))
+        def step(b):
+            out = jax.vmap(
+                lambda im: musica.musica_forward(im, cfg, "fact")["out_u8"])(b)
+            return out.astype(jnp.uint32).sum()
 
     rng = np.random.default_rng(0)
     example = rng.integers(0, 65535, (b_global, cfg.image_size, cfg.image_size),

@@ -43,29 +43,36 @@ def dump_intermediates(inter: Dict[str, object], out_dir: str) -> None:
         signed = any(k in name for k in ("bandpass", "sdev_"))
         u8 = _to_u8(arr, 1.0, -1.0 if signed else 0.0)
         save_bmp8(out / f"{name}.bmp", u8)
-    # histogram / curve renders (reference: noise_hist_render.comp,
-    # gradation_curve_debug_render.comp; dumped as noise_hist.bmp /
-    # grad_hist.bmp by debugProcess, src/vk_processing.cpp:2761-2808)
+    # histogram / curve renders: pixel-faithful transcriptions of the GLSL
+    # render shaders (utils/render.py; noise_hist_render.comp dispatched at
+    # src/vk_processing.cpp:2346-2350, gradation_curve_debug_render.comp at
+    # :2507-2511; dumped as noise_hist.bmp / grad_hist.bmp by debugProcess,
+    # src/vk_processing.cpp:2761-2808)
+    from . import render as render_shaders
     cnr_key = None
     for k in inter:
         if k.startswith("noise_hist_"):
             cnr_key = k  # keep last (== cnr level when present)
     if cnr_key is not None:
+        h = np.asarray(inter[cnr_key])
         save_bmp_rgb(out / "noise_hist.bmp",
-                     render_histogram(np.asarray(inter[cnr_key])))
+                     render_shaders.render_noise_hist(
+                         h, int(h.max()), int(h.argmax()))[..., :3])
     if "grad_hist" in inter and "grad_curve" in inter:
         gpx, gpy, tvals = inter["grad_curve"]
+        h = np.asarray(inter["grad_hist"])
         save_bmp_rgb(out / "grad_hist.bmp",
-                     render_histogram(np.asarray(inter["grad_hist"]),
-                                      curve=(np.asarray(gpx), np.asarray(gpy)),
-                                      markers=[float(t) for t in tvals]))
+                     render_shaders.render_gradation_curve_debug(
+                         h, int(h.max()), int(h.argmax()),
+                         np.asarray(gpx), np.asarray(gpy),
+                         *(float(t) for t in tvals))[..., :3])
     # per-level contrast-curve renders (contrast_curve_render.comp ->
     # constrastCurveImageStates, one 512x128 panel per pyramid level)
     for name, val in inter.items():
         if name.startswith("contrast_curve_") and isinstance(val, tuple):
             px, py = (np.asarray(v) for v in val)
             save_bmp_rgb(out / f"{name}.bmp",
-                         render_curve(px, py, y_max=max(3.0, float(py.max()))))
+                         render_shaders.render_contrast_curve(px, py)[..., :3])
 
 
 def render_curve(px: np.ndarray, py: np.ndarray, y_max: float = 3.0,

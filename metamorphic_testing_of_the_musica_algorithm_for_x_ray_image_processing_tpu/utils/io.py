@@ -193,3 +193,10 @@ def load_bmp(path: str | os.PathLike) -> np.ndarray:
     from PIL import Image
     with Image.open(path) as im:
         return np.array(im.convert("L"), dtype=np.uint8)
+
+
+def load_bmp_rgb(path: str | os.PathLike) -> np.ndarray:
+    """Read a BMP back as a uint8 RGB array [rows, cols, 3] (uses PIL)."""
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.array(im.convert("RGB"), dtype=np.uint8)

@@ -65,13 +65,7 @@ def p_norm(im, cfg=cfg):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def p_reduce(nrm, cfg=cfg):
-    bandpass, downs, cur = [], [], nrm
-    for _ in range(cfg.pyramid_levels):
-        dn = pyramid.smooth_downsample(cur)
-        bandpass.append(cur - pyramid.upsample_smooth(dn, cur.shape[-1]))
-        downs.append(dn)
-        cur = dn
-    return bandpass, downs
+    return pyramid.reduce_ladder(nrm, cfg.pyramid_levels)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -120,10 +114,8 @@ def p_grad(recon, nrm, cnr, cfg=cfg):
     gi = recon
     ghist = gradation.gradation_histogram_fused_relevance(gi, nrm, cnr, cfg, "auto")
     gpx, gpy, _ = gradation.gradation_curve(ghist, cfg)
-    graded = curves.curve_get_y_adaptive(gpx, gpy, gi)
     m = cfg.out_margin
-    return jnp.clip(jnp.trunc(jnp.float32(255.0) * graded[..., m:-m, m:-m]),
-                    0.0, 255.0).astype(jnp.uint8)
+    return curves.curve_apply_u8_adaptive(gpx, gpy, gi[..., m:-m, m:-m])
 
 
 # sub-phase: gradation histogram only / tone map only
@@ -134,10 +126,8 @@ def p_grad_hist(recon, nrm, cnr, cfg=cfg):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def p_tonemap(recon, gpx, gpy, cfg=cfg):
-    graded = curves.curve_get_y_adaptive(gpx, gpy, recon)
     m = cfg.out_margin
-    return jnp.clip(jnp.trunc(jnp.float32(255.0) * graded[..., m:-m, m:-m]),
-                    0.0, 255.0).astype(jnp.uint8)
+    return curves.curve_apply_u8_adaptive(gpx, gpy, recon[..., m:-m, m:-m])
 
 
 # expand ladder top step only
