@@ -715,6 +715,10 @@ def process(img_u16: np.ndarray, cfg: MusicaConfig | None = None,
     grad_input = (recon * recon).astype(F) if cfg.grad_with_linear_image else recon
     relevant = img_relevant(normalized, cnr, cfg)
     inter["relevant"] = relevant
+    if cfg.enable_clahe:
+        # CLAHE grades the raw reconstruction (not grad_input), into its own
+        # output image (src/vk_processing.cpp:1903-1906, 2470-2489)
+        inter["clahe_graded"] = clahe_grade(recon, relevant, cfg)
     ghist = gradation_histogram(grad_input, relevant, cfg)
     inter["grad_hist"] = ghist
     gpx, gpy, tvals = gradation_curve_generate(ghist, cfg)

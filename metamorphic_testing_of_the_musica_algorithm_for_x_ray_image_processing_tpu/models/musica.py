@@ -56,9 +56,8 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     sdevs: Dict[int, jnp.ndarray] = {}
     max_bins: Dict[int, jnp.ndarray] = {}
     for i in cfg.analysis_levels:
-        sd = stats.img_sdev(bandpass[i])
+        sd, h = stats.sdev_and_noise_histogram(bandpass[i], cfg, hist_method)
         sdevs[i] = sd
-        h = stats.noise_histogram(sd, cfg, hist_method)
         _, mb = stats.histogram_max(h)
         max_bins[i] = mb
         if want_intermediates:
@@ -234,10 +233,9 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
     def phase_analysis(bandpass, cfg=cfg, hm=hist_method):
         sdevs, max_bins = {}, {}
         for i in cfg.analysis_levels:
-            sd = stats.img_sdev(bandpass[i])
+            sd, h = stats.sdev_and_noise_histogram(bandpass[i], cfg, hm)
             sdevs[i] = sd
-            _, max_bins[i] = stats.histogram_max(
-                stats.noise_histogram(sd, cfg, hm))
+            _, max_bins[i] = stats.histogram_max(h)
         return sdevs, max_bins
 
     @partial(jax.jit, static_argnames=("cfg",))

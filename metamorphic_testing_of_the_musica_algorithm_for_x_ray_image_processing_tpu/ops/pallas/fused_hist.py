@@ -144,6 +144,105 @@ def noise_hist_fused(sdev_cov: jnp.ndarray, n_bins: int = 2048,
 
 
 # ----------------------------------------------------------------------
+# sdev + noise histogram in one pass
+# ----------------------------------------------------------------------
+
+def _sdev_noise_kernel(band_ref, top_ref, bot_ref, hist_ref, sdev_ref, *,
+                       C, F, n_bins, tile, max_noise, n):
+    """img_sdev (5x5 RMS, zero-pad borders, shaders/img_sdev.comp:15-29)
+    computed in-kernel from the bandpass block, emitting BOTH the sdev image
+    block and the noise-histogram accumulation (shaders/noise_hist.comp) --
+    the sdev image is written once and never re-read for the histogram.
+
+    The 2-row top/bottom halos arrive as separate pre-sliced strips (padded
+    to 8 sublanes for the Mosaic block rule; only rows 0-1 are real).  Row
+    taps are unit-stride sublane slices of the halo-extended block; column
+    taps are masked lane rolls in the SAME m = 0..4 left-to-right order as
+    ops/stats.py::img_sdev, so the f32 accumulation (and hence every bin
+    decision) is bit-identical to the two-step path.
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        hist_ref[:] = jnp.zeros_like(hist_ref)
+
+    band = band_ref[:]          # [R, n]
+    ext = jnp.concatenate([top_ref[0:2], band, bot_ref[0:2]], axis=0)
+    sq = ext * ext
+    R = band.shape[0]
+    tmp = (sq[0:R, :] + sq[1:R + 1, :] + sq[2:R + 2, :]
+           + sq[3:R + 3, :] + sq[4:R + 4, :])
+    col = jax.lax.broadcasted_iota(I32, tmp.shape, 1)
+
+    def tap(m):
+        d = m - 2
+        if d < 0:
+            return pltpu.roll(tmp, -d, 1) * (col >= -d).astype(F32)
+        if d == 0:
+            return tmp
+        return pltpu.roll(tmp, n - d, 1) * (col < n - d).astype(F32)
+
+    s = tap(0)
+    for m in range(1, 5):
+        s = s + tap(m)
+    sdev = jnp.sqrt(s * F32(1.0 / 25.0))
+    sdev_ref[:] = sdev
+
+    adjusted = sdev / F32(max_noise)
+    bins = (adjusted * F32(n_bins) + F32(0.5)).astype(I32)
+    brk = ((sdev == 0.0) | (adjusted > 1.0) | (bins == 0)).astype(I32)
+    dead = _prefix_or_in_group(brk, tile)
+    w = ((1 - dead) * (bins < n_bins)).astype(F32)
+    bins = jnp.clip(bins, 0, n_bins - 1)
+    _accumulate_fact(bins, w, hist_ref, C, F)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "tile", "max_noise",
+                                             "rows", "interpret"))
+def sdev_noise_hist_fused(band: jnp.ndarray, n_bins: int = 2048,
+                          tile: int = 16, max_noise: float = 0.1,
+                          rows: int = 96, interpret: bool = False):
+    """Bandpass level image [n, n] -> (noise histogram [n_bins], sdev [n, n]).
+
+    Requires full histogram coverage (cov == n; callers fall back to the
+    two-step path otherwise) and n divisible by ``rows``.
+    """
+    n = band.shape[-1]
+    assert band.shape[-2] % rows == 0 and rows % 8 == 0
+    grid = band.shape[-2] // rows
+    C, F, _ = _factor(n_bins)
+    z2 = jnp.zeros((2, n), band.dtype)
+    # top halo strips: rows (i*rows - 2, i*rows - 1), zeros for i == 0;
+    # padded to 8 sublanes per grid block (XLA fuses these slices into small
+    # gathers -- no full-image copy)
+    top = jnp.concatenate([z2, band[:-2]], axis=0
+                          ).reshape(grid, rows, n)[:, :8].reshape(grid * 8, n)
+    # bottom halo strips: rows ((i+1)*rows, (i+1)*rows + 1), zeros at the end
+    bot = jnp.concatenate([band[rows:], jnp.zeros((rows, n), band.dtype)],
+                          axis=0).reshape(grid, rows, n)[:, :8].reshape(grid * 8, n)
+    hist, sdev = pl.pallas_call(
+        functools.partial(_sdev_noise_kernel, C=C, F=F, n_bins=n_bins,
+                          tile=tile, max_noise=max_noise, n=n),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((C, F), I32),
+                   jax.ShapeDtypeStruct(band.shape, band.dtype)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * band.size * C * F, bytes_accessed=band.size * 8,
+            transcendentals=band.size),
+    )(band, top, bot)
+    return hist.reshape(-1)[:n_bins], sdev
+
+
+# ----------------------------------------------------------------------
 # gradation histogram
 # ----------------------------------------------------------------------
 

@@ -159,6 +159,36 @@ def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
     return fixed_histogram(bins, w, cfg.noise_histogram_bins, method)
 
 
+def sdev_and_noise_histogram(band: jnp.ndarray, cfg: MusicaConfig,
+                             method: str = "auto"):
+    """(sdev, noise histogram) of one bandpass level in a single pass.
+
+    When the histogram dispatch covers exactly the level (cov == n, the
+    case for every analysis level at the reference 3072 resolution) and the
+    method is 'fused', the Pallas kernel computes sdev in-kernel and emits
+    both -- one HBM read of the bandpass + one write of sdev, instead of
+    read band + write sdev + re-read sdev (~2x faster at 3072; bit-identical
+    tap order, tests/test_fused_hist.py).  Otherwise falls back to
+    img_sdev + noise_histogram.
+    """
+    if method == "auto":
+        method = "fused" if jax.default_backend() == "tpu" else "fact"
+    if method in ("fused", "fused_interpret") and band.ndim == 2:
+        n = band.shape[-1]
+        tile = cfg.histogram_area_size
+        n_pad = -(-n // tile) * tile
+        cov = min(n_pad, cfg.hist_coverage) if cfg.quirks else n_pad
+        rows = next((r for r in (96, 48, 32, 16, 8) if n % r == 0), None)
+        if cov == n and rows is not None:
+            from .pallas import fused_hist
+            h, sd = fused_hist.sdev_noise_hist_fused(
+                band, cfg.noise_histogram_bins, tile, cfg.max_noise_value,
+                rows=rows, interpret=(method == "fused_interpret"))
+            return sd, h
+    sd = img_sdev(band)
+    return sd, noise_histogram(sd, cfg, method)
+
+
 def histogram_max(hist: jnp.ndarray):
     """(max_value, max_bin); strict > keeps the first maximum, and an
     all-zero histogram yields bin 0 (shaders/img_histogram_max.comp:17-31).

@@ -79,6 +79,19 @@ def default_runner(image_size: int, quirks: bool = True) -> Callable:
     return run
 
 
+def dicom_to_reference(arr: np.ndarray) -> np.ndarray:
+    """DICOM pixel array -> 8-bit inverted ground-truth image
+    (test/metamorphic_test/script.py:396-405).
+
+    The reference's 16-bit path is PIL ``point(lambda i: i * (1/256))
+    .convert('L')`` on an I;16 image = truncating v // 256, then
+    ``ImageOps.invert`` = 255 - v; verified equal to that exact PIL chain in
+    tests/test_dicom_reference.py."""
+    if arr.dtype != np.uint8:
+        arr = (arr / 256).astype(np.uint8)
+    return (255 - arr).astype(np.uint8)
+
+
 def load_reference_image(path: str, size: int) -> Optional[np.ndarray]:
     """Vendor-processed DICOM ground truth, 16->8 bit + inverted
     (script.py:396-405).  Returns None when pydicom is unavailable."""
@@ -87,10 +100,7 @@ def load_reference_image(path: str, size: int) -> Optional[np.ndarray]:
     except ImportError:
         return None
     ds = pydicom.dcmread(path)
-    arr = ds.pixel_array
-    if arr.dtype != np.uint8:
-        arr = (arr / 256).astype(np.uint8)
-    return (255 - arr).astype(np.uint8)
+    return dicom_to_reference(ds.pixel_array)
 
 
 def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,

@@ -41,9 +41,23 @@ def _uniform_filter(x: np.ndarray, size: int) -> np.ndarray:
 
 
 def ssim_similarity(image_a, image_b, win_size: int = 7,
-                    data_range: float = 255.0) -> float:
+                    data_range: float = 255.0, method: str = "auto") -> float:
     """Mean SSIM, matching skimage.metrics.structural_similarity defaults
-    (uniform 7x7 window, crop pad, sample covariance with N/(N-1))."""
+    (uniform 7x7 window, crop pad, sample covariance with N/(N-1)).
+
+    ``method``: 'numpy' (f64 host oracle), 'jax' (f32 on the default jax
+    device -- 0.48 s vs 8.5 s per 3052^2 pair on the TPU host, |delta| ~1e-6
+    vs the f64 oracle), or 'auto' (jax when an accelerator is the default
+    backend; the campaign's metric cost was the wall-time bottleneck,
+    VERDICT round 1 item 5)."""
+    if method == "auto":
+        import jax
+        method = "jax" if jax.default_backend() not in ("cpu",) else "numpy"
+    if method == "jax":
+        import jax.numpy as jnp
+        a = jnp.asarray(np.ascontiguousarray(_as_gray(image_a)))
+        b = jnp.asarray(np.ascontiguousarray(_as_gray(image_b)))
+        return float(_ssim_jax(a, b, win_size, float(data_range)))
     x = _as_gray(image_a).astype(np.float64)
     y = _as_gray(image_b).astype(np.float64)
     assert x.shape == y.shape
@@ -67,6 +81,58 @@ def ssim_similarity(image_a, image_b, win_size: int = 7,
     s = (a1 * a2) / (b1 * b2)
     pad = (win_size - 1) // 2
     return float(s[pad:s.shape[0] - pad, pad:s.shape[1] - pad].mean())
+
+
+def _make_ssim_jax():
+    """Device SSIM (f32): same formula as the NumPy oracle with the uniform
+    filter as reflect-pad + separable 7-tap box sums.  jitted per shape; at
+    3052^2 the compile is ~3.5 s and a warm call 0.48 s including the two
+    host->device u8 transfers (tests/test_metrics.py pins |jax - numpy|
+    < 1e-5)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("win_size", "data_range"))
+    def ssim(a, b, win_size, data_range):
+        x = a.astype(jnp.float32)
+        y = b.astype(jnp.float32)
+        w = win_size
+        r = w // 2
+
+        def box(m):
+            p = jnp.pad(m, r, mode="reflect")
+            h, wd = m.shape
+            t = sum(p[i:i + h, :] for i in range(w))
+            s = sum(t[:, j:j + wd] for j in range(w))
+            return s * (1.0 / (w * w))
+
+        k1, k2 = 0.01, 0.03
+        cov_norm = (w * w) / (w * w - 1)
+        ux, uy = box(x), box(y)
+        uxx, uyy, uxy = box(x * x), box(y * y), box(x * y)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        c1 = (k1 * data_range) ** 2
+        c2 = (k2 * data_range) ** 2
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+            (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+        return jnp.mean(s[r:s.shape[0] - r, r:s.shape[1] - r])
+
+    return ssim
+
+
+class _LazySsim:
+    _fn = None
+
+    def __call__(self, a, b, win_size, data_range):
+        if _LazySsim._fn is None:
+            _LazySsim._fn = _make_ssim_jax()
+        return _LazySsim._fn(a, b, win_size, data_range)
+
+
+_ssim_jax = _LazySsim()
 
 
 def hist_similarity(image_a, image_b, bins: int = 256):

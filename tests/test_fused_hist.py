@@ -1,4 +1,17 @@
-"""Fused pallas histogram kernels (interpret mode) vs the golden model."""
+"""Fused pallas histogram kernels (interpret mode) vs the golden model.
+
+These are EXACT-equality comparisons between differently-compiled programs
+(strict NumPy golden, XLA-jitted `fact`, and Pallas interpret mode).  XLA's
+fusion-dependent FP contraction (FMA / reassociation) can legally move a
+decision value like ``v/0.1*2048 + 0.5`` by 1 ulp between two compilations
+of the same formula, flipping the int truncation for pixels that sit within
+an ulp of a bin boundary (the GLSL reference is just as unspecified there —
+docs/QUIRKS.md #29).  So each test here (a) uses its own deterministic rng
+rather than the shared order-dependent session fixture, and (b) perturbs
+pixels whose decision values fall within 1e-3 of a boundary — the tests
+target kernel *logic* (break semantics, tiling, factorization), not the
+contraction behavior of any particular compiler.
+"""
 
 import numpy as np
 import pytest
@@ -9,44 +22,130 @@ from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.
 from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.models import golden
 from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.ops import gradation, stats
 
+F32 = np.float32
 
-def test_fused_noise_hist_matches_golden(rng):
+
+def _snap_noise_bins(sd: np.ndarray, cfg, eps: float = 1e-3) -> np.ndarray:
+    """Nudge pixels whose noise-hist decision value ``v/0.1*2048 + 0.5``
+    (shaders/noise_hist.comp:31-35) lies within ``eps`` of an integer."""
+    sd = sd.copy()
+    for _ in range(8):
+        t = (sd.astype(F32) / F32(cfg.max_noise_value)) \
+            * F32(cfg.noise_histogram_bins) + F32(0.5)
+        near = (np.abs(t - np.round(t)) < eps) & (sd > 0)
+        if not near.any():
+            return sd
+        sd[near] *= F32(1.0007)
+    raise AssertionError("could not move pixels off bin boundaries")
+
+
+def _snap_grad_bins(recon: np.ndarray, cfg, eps: float = 1e-3) -> np.ndarray:
+    """Nudge pixels whose gradation-hist decision value ``v * 1024``
+    (shaders/gradation_histogram.comp:27) lies within ``eps`` of an
+    integer truncation boundary."""
+    recon = recon.copy()
+    for _ in range(8):
+        t = recon.astype(F32) * F32(cfg.grad_histogram_bins)
+        near = (np.abs(t - np.round(t)) < eps) & (recon != 0)
+        if not near.any():
+            return recon
+        recon[near] += F32(eps / cfg.grad_histogram_bins * 4)
+    raise AssertionError("could not move pixels off bin boundaries")
+
+
+def _snap_weights(relevant: np.ndarray, eps: float = 1e-3) -> np.ndarray:
+    """Nudge relevance weights whose ``uint(rel * 100)``
+    (shaders/gradation_histogram.comp:30) sits within ``eps`` of a step."""
+    relevant = relevant.copy()
+    t = relevant.astype(F32) * F32(100.0)
+    near = np.abs(t - np.round(t)) < eps
+    relevant[near] += F32(0.003)
+    return relevant
+
+
+def test_fused_noise_hist_matches_golden():
+    rng = np.random.default_rng(71)
     cfg = MusicaConfig(image_size=512)
     sd = rng.uniform(0, 0.15, (256, 256)).astype(np.float32)
     sd[rng.uniform(size=(256, 256)) < 0.1] = 0.0
+    sd = _snap_noise_bins(sd, cfg)
     g = golden.noise_histogram(sd, cfg)
     j = np.asarray(stats.noise_histogram(jnp.asarray(sd), cfg,
                                          "fused_interpret"))
     np.testing.assert_array_equal(j.astype(np.int64), g)
 
 
-def test_fused_noise_hist_matches_fact_small_level(rng):
+def test_fused_noise_hist_matches_fact_small_level():
+    rng = np.random.default_rng(72)
     cfg = MusicaConfig(image_size=1024)
     sd = rng.uniform(0, 0.12, (128, 128)).astype(np.float32)
     sd[rng.uniform(size=(128, 128)) < 0.05] = 0.0
+    sd = _snap_noise_bins(sd, cfg)
     a = np.asarray(stats.noise_histogram(jnp.asarray(sd), cfg, "fact"))
     b = np.asarray(stats.noise_histogram(jnp.asarray(sd), cfg,
                                          "fused_interpret"))
     np.testing.assert_array_equal(a, b)
 
 
-def test_fused_grad_hist_matches_golden(rng):
+def test_sdev_noise_hist_fused_interpret():
+    """Combined sdev+noise-hist kernel (interpret mode): the in-kernel sdev
+    tracks the f64 golden oracle to 2e-6 (1-ulp f32 agreement across
+    compilers is not defined -- quirk #29 / test_sdev_matches_golden uses
+    the same bound), and the histogram is EXACTLY what the plain noise
+    kernel produces on the combined kernel's own sdev output -- isolating
+    the binning/break logic from sdev's last-ulp wiggle.  Bit-exactness of
+    both outputs against the XLA two-step path holds on real TPU hardware
+    (scripts/exp_sdev_fused.py) where one Mosaic backend compiles both."""
+    rng = np.random.default_rng(75)
+    cfg = MusicaConfig(image_size=512)
+    band = rng.normal(0, 0.02, (512, 512)).astype(np.float32)
+    band[rng.uniform(size=(512, 512)) < 0.01] = 0.0
+    sd, h = stats.sdev_and_noise_histogram(jnp.asarray(band), cfg,
+                                           "fused_interpret")
+    np.testing.assert_allclose(np.asarray(sd), golden.img_sdev(band),
+                               rtol=0, atol=2e-6)
+    h2 = np.asarray(stats.noise_histogram(sd, cfg, "fused_interpret"))
+    np.testing.assert_array_equal(np.asarray(h), h2)
+    assert np.asarray(h).sum() > 0
+
+
+def test_sdev_noise_hist_fallback_partial_coverage():
+    """When the dispatch coverage is not the full level (n % 16 != 0 pads,
+    or hist_coverage crops), sdev_and_noise_histogram must fall back to the
+    two-step path and match it exactly."""
+    rng = np.random.default_rng(76)
+    cfg = MusicaConfig(image_size=512)
+    band = rng.normal(0, 0.02, (40, 40)).astype(np.float32)  # n_pad = 48 != 40
+    sd, h = stats.sdev_and_noise_histogram(jnp.asarray(band), cfg,
+                                           "fused_interpret")
+    sd_ref = stats.img_sdev(jnp.asarray(band))
+    np.testing.assert_array_equal(np.asarray(sd), np.asarray(sd_ref))
+    np.testing.assert_array_equal(
+        np.asarray(h),
+        np.asarray(stats.noise_histogram(sd_ref, cfg, "fused_interpret")))
+
+
+def test_fused_grad_hist_matches_golden():
+    rng = np.random.default_rng(73)
     cfg = MusicaConfig(image_size=256)
     n = 256
     recon = rng.uniform(-0.1, 1.2, (n, n)).astype(np.float32)
     recon[rng.uniform(size=(n, n)) < 0.02] = 0.0
-    relevant = (rng.uniform(0, 1, (n, n)) ** 2).astype(np.float32)
+    recon = _snap_grad_bins(recon, cfg)
+    relevant = _snap_weights((rng.uniform(0, 1, (n, n)) ** 2).astype(np.float32))
     g = golden.gradation_histogram(recon, relevant, cfg)
     j = np.asarray(gradation.gradation_histogram(
         jnp.asarray(recon), jnp.asarray(relevant), cfg, "fused_interpret"))
     np.testing.assert_array_equal(j.astype(np.int64), g)
 
 
-def test_fused_relevance_grad_hist_matches_two_step(rng):
+def test_fused_relevance_grad_hist_matches_two_step():
+    rng = np.random.default_rng(74)
     cfg = MusicaConfig(image_size=512)
     n = 512
     recon = rng.uniform(-0.1, 1.2, (n, n)).astype(np.float32)
     recon[rng.uniform(size=(n, n)) < 0.02] = 0.0
+    recon = _snap_grad_bins(recon, cfg)
     normalized = rng.uniform(0, 1.01, (n, n)).astype(np.float32)
     cnr = rng.uniform(0, 0.1, (64, 64)).astype(np.float32)
     a = np.asarray(gradation.gradation_histogram_fused_relevance(

@@ -41,6 +41,26 @@ def test_ssim_matches_reference_formula():
     assert abs(metrics.ssim_similarity(a, b) - expected) < 1e-9
 
 
+def test_ssim_jax_matches_numpy_oracle(rng):
+    """The device (f32) SSIM used by the campaign on TPU must track the f64
+    NumPy oracle to ~1e-5 -- on random, structured, and odd-shaped pairs."""
+    a = rng.integers(0, 256, (301, 211)).astype(np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-20, 20, a.shape), 0, 255
+                ).astype(np.uint8)
+    ref = metrics.ssim_similarity(a, b, method="numpy")
+    got = metrics.ssim_similarity(a, b, method="jax")
+    assert abs(ref - got) < 1e-5
+    # structured gradient pair
+    g = (np.linspace(0, 255, 300)[:, None]
+         * np.ones((1, 300))).astype(np.uint8)
+    h = np.clip(g.astype(int) + rng.integers(-5, 5, g.shape), 0, 255
+                ).astype(np.uint8)
+    assert abs(metrics.ssim_similarity(g, h, method="numpy")
+               - metrics.ssim_similarity(g, h, method="jax")) < 1e-5
+    # identity
+    assert abs(metrics.ssim_similarity(a, a, method="jax") - 1.0) < 1e-6
+
+
 def test_hist_similarity(rng):
     a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
     inter, e, bc = metrics.hist_similarity(a, a)

@@ -39,6 +39,35 @@ def test_spatial_sharding_matches_single():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("size", [600, 1792])
+def test_spatial_sharding_ragged_sizes(size):
+    """Row-sharded pipeline at non-power-of-two sizes where ceil(n/2)
+    pyramid levels go odd (600 -> 300/150/75/38/19/10/5/3/2) and shard
+    boundaries stop aligning with the 5x5 conv halos -- exactly where GSPMD
+    halo-exchange bugs would hide.
+
+    Tolerance note (bisected in detail): all analysis stages (bandpass,
+    downsampled, sdev, CNR, max-bins, tone curve) are BIT-equal under the
+    row sharding; the expand-ladder reconstruction picks up 1-ulp f32
+    differences (rel ~1e-7) at odd level sizes because XLA's fusion/FMA
+    codegen differs between the partitioned and unpartitioned programs --
+    not a halo defect (a wrong halo row would shift values by whole
+    bandpass magnitudes, ~1e-2).  Occasionally one such ulp crosses a
+    truncation boundary in the final x255 u8 quantize, so the assertion is
+    |delta_u8| <= 1 on < 0.01% of pixels; even/aligned sizes remain
+    bit-exact (test_spatial_sharding_matches_single)."""
+    cfg = MusicaConfig(image_size=size)
+    imgs = np.stack([synthetic_radiograph(size, "thorax"),
+                     synthetic_radiograph(size, "pelvis")])
+    mesh = sharding.make_mesh(n_data=2, n_space=4)
+    out = np.asarray(sharding.process_sharded(jnp.asarray(imgs), cfg, mesh))
+    ref = np.asarray(musica.process_batch_jit(jnp.asarray(imgs), cfg, "fact"))
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max u8 delta {diff.max()}"
+    frac = (diff > 0).mean()
+    assert frac < 1e-4, f"{frac:.2e} of pixels differ (expected < 1e-4)"
+
+
 def test_throughput_step_runs():
     cfg = MusicaConfig(image_size=128)
     mesh = sharding.make_mesh(n_data=4, n_space=2)
