@@ -100,12 +100,22 @@ def cmd_batch(args) -> int:
     cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks)
     import os
     os.makedirs(args.out_dir, exist_ok=True)
+    B = max(1, args.batch)
     t0 = time.perf_counter()
-    for f in files:
-        raw = uio.load_raw(f, args.size, transpose=not args.no_transpose)
-        out = musica.process(raw, cfg)
-        name = os.path.splitext(os.path.basename(f))[0] + ".bmp"
-        uio.save_bmp8(os.path.join(args.out_dir, name), out)
+    for start in range(0, len(files), B):
+        chunk = files[start:start + B]
+        raws = np.stack([uio.load_raw(f, args.size,
+                                      transpose=not args.no_transpose)
+                         for f in chunk])
+        if len(chunk) < B:
+            # pad the last chunk so every dispatch reuses one compiled shape
+            raws = np.concatenate(
+                [raws, np.zeros((B - len(chunk),) + raws.shape[1:],
+                                raws.dtype)])
+        outs = np.asarray(musica.process_batch_jit(jnp.asarray(raws), cfg))
+        for f, out in zip(chunk, outs):
+            name = os.path.splitext(os.path.basename(f))[0] + ".bmp"
+            uio.save_bmp8(os.path.join(args.out_dir, name), out)
     dt = time.perf_counter() - t0
     print(f"{len(files)} images in {dt:.2f}s "
           f"({len(files) * args.size ** 2 / dt / 1e9:.3f} GPix/s incl. IO+compile)")
@@ -173,6 +183,10 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("pattern")
     p.add_argument("out_dir")
+    p.add_argument("--batch", type=int, default=4,
+                   help="images per device dispatch (lax.map chunk; the "
+                        "last chunk is zero-padded to reuse one compiled "
+                        "shape)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("report", help="HTML gallery of all pipeline stages "

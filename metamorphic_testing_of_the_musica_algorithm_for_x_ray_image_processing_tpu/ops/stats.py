@@ -161,19 +161,22 @@ def noise_histogram(sdev: jnp.ndarray, cfg: MusicaConfig,
 
 def sdev_and_noise_histogram(band: jnp.ndarray, cfg: MusicaConfig,
                              method: str = "auto"):
-    """(sdev, noise histogram) of one bandpass level in a single pass.
+    """(sdev, noise histogram) of one bandpass level.
 
-    When the histogram dispatch covers exactly the level (cov == n, the
-    case for every analysis level at the reference 3072 resolution) and the
-    method is 'fused', the Pallas kernel computes sdev in-kernel and emits
-    both -- one HBM read of the bandpass + one write of sdev, instead of
-    read band + write sdev + re-read sdev (~2x faster at 3072; bit-identical
-    tap order, tests/test_fused_hist.py).  Otherwise falls back to
-    img_sdev + noise_histogram.
+    Default ('auto'/'fused'): img_sdev (XLA) + the fused histogram kernel --
+    the production path.  'fused_sdev' selects the combined Pallas kernel
+    that computes sdev in-kernel and emits both outputs in one pass
+    (requires full dispatch coverage, cov == n).  The combined kernel wins
+    2.5x measured standalone (0.39 vs 0.96 ms at 3072) and is bit-identical
+    on TPU, but LOSES ~0.4 ms in the full pipeline: downstream consumers of
+    a Pallas-produced sdev (contrast-apply gather + expand ladder) forgo
+    XLA fusion/layout choices they get when sdev is a plain XLA op
+    (A/B in docs/PERFORMANCE.md).  Kept as an opt-in for pipelines that
+    only need the histogram side.
     """
     if method == "auto":
         method = "fused" if jax.default_backend() == "tpu" else "fact"
-    if method in ("fused", "fused_interpret") and band.ndim == 2:
+    if method in ("fused_sdev", "fused_sdev_interpret") and band.ndim == 2:
         n = band.shape[-1]
         tile = cfg.histogram_area_size
         n_pad = -(-n // tile) * tile
@@ -183,8 +186,10 @@ def sdev_and_noise_histogram(band: jnp.ndarray, cfg: MusicaConfig,
             from .pallas import fused_hist
             h, sd = fused_hist.sdev_noise_hist_fused(
                 band, cfg.noise_histogram_bins, tile, cfg.max_noise_value,
-                rows=rows, interpret=(method == "fused_interpret"))
+                rows=rows, interpret=(method == "fused_sdev_interpret"))
             return sd, h
+    if method in ("fused_sdev", "fused_sdev_interpret"):
+        method = "fused" if method == "fused_sdev" else "fused_interpret"
     sd = img_sdev(band)
     return sd, noise_histogram(sd, cfg, method)
 

@@ -51,12 +51,28 @@ _ROBUSTNESS_HEADER = [
 
 
 def _measure_row(alt, unalt, ref, ovd):
-    own_mse = metrics.mse_similarity(alt, unalt)
-    own_ssim = metrics.ssim_similarity(alt, unalt)
-    _, own_hist, _ = metrics.hist_similarity(alt, unalt)
-    ref_mse = metrics.mse_similarity(alt, ref)
-    ref_ssim = metrics.ssim_similarity(alt, ref)
-    _, ref_hist, _ = metrics.hist_similarity(alt, ref)
+    """Six similarity numbers + the three reference-normalized ratios.
+
+    When ``unalt``/``ref`` are device (jax) arrays, all six numbers come
+    from ONE fused jitted call (metrics.measure_row_device) with only
+    ``alt`` crossing the host boundary.  NumPy inputs with an accelerator
+    present (the registration-normalized rows' ~31 distinct crop shapes,
+    each of which would cost a remote-TPU compile) use the same fused
+    program on the local CPU backend.  The f64 host oracles remain the
+    no-accelerator path."""
+    if not isinstance(unalt, np.ndarray):
+        (own_mse, own_ssim, own_hist, ref_mse, ref_ssim,
+         ref_hist) = metrics.measure_row_device(alt, unalt, ref)
+    elif metrics.device_metrics_available():
+        (own_mse, own_ssim, own_hist, ref_mse, ref_ssim,
+         ref_hist) = metrics.measure_row_cpu_jax(alt, unalt, ref)
+    else:
+        own_mse = metrics.mse_similarity(alt, unalt)
+        own_ssim = metrics.ssim_similarity(alt, unalt)
+        _, own_hist, _ = metrics.hist_similarity(alt, unalt)
+        ref_mse = metrics.mse_similarity(alt, ref)
+        ref_ssim = metrics.ssim_similarity(alt, ref)
+        _, ref_hist, _ = metrics.hist_similarity(alt, ref)
     ovd_mse, ovd_ssim, ovd_hist = ovd
     return [own_mse, own_ssim, own_hist, ref_mse, ref_ssim, ref_hist,
             ref_mse / ovd_mse, ref_ssim / ovd_ssim,
@@ -149,16 +165,29 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
             m = PROCESSING_MARGIN
             reference = reference[m:image_size - m, m:image_size - m]
 
-        ovd = (metrics.mse_similarity(unalt, reference),
-               metrics.ssim_similarity(unalt, reference),
-               metrics.hist_similarity(unalt, reference)[1])
+        # device-resident copies for the fused metric path (uploaded once
+        # per anatomy; every _measure_row then ships only the altered image)
+        use_dev = metrics.device_metrics_available()
+        if use_dev:
+            import jax.numpy as jnp
+            unalt_m = jnp.asarray(unalt)
+            reference_m = (unalt_m if reference is unalt
+                           else jnp.asarray(reference))
+            vals = metrics.measure_row_device(unalt, unalt_m, reference_m)
+            ovd = (vals[3], vals[4], vals[5])
+        else:
+            unalt_m, reference_m = unalt, reference
+            ovd = (metrics.mse_similarity(unalt, reference),
+                   metrics.ssim_similarity(unalt, reference),
+                   metrics.hist_similarity(unalt, reference)[1])
         results[S_CSV].append([anat, *ovd])
 
         def direct(name, alt_img):
             alt_out = runner(alt_img)
             save_case(f"{anat}_{name}", alt_out)
             results[R_CSV].append(
-                [anat, name, *_measure_row(alt_out, unalt, reference, ovd)])
+                [anat, name, *_measure_row(alt_out, unalt_m, reference_m,
+                                           ovd)])
             return alt_out
 
         # collimator (+ registration-normalized: crop to the open window)

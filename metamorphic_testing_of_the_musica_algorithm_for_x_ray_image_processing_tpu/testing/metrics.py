@@ -135,6 +135,178 @@ class _LazySsim:
 _ssim_jax = _LazySsim()
 
 
+def device_metrics_available() -> bool:
+    """True when an accelerator is the default jax backend (the campaign
+    then keeps the unaltered/reference images device-resident and computes
+    each row's six similarity numbers in ONE jitted call)."""
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _ssim_mse_pair(jnp, af, bf):
+    """f32 (mse-similarity, ssim) of one pair -- shared by the accelerator
+    and CPU-backend measure programs (|delta| ~1e-6 vs the f64 oracles,
+    pinned in tests/test_metamorphic.py)."""
+    err = jnp.abs(af - bf) * jnp.float32(1.0 / 255.0)
+    mse_sim = 1.0 - jnp.sqrt(jnp.mean(err * err))
+
+    w, r = 7, 3
+
+    def box(m):
+        p = jnp.pad(m, r, mode="reflect")
+        h, wd = m.shape
+        t = sum(p[i:i + h, :] for i in range(w))
+        s = sum(t[:, j:j + wd] for j in range(w))
+        return s * (1.0 / (w * w))
+
+    cov_norm = (w * w) / (w * w - 1)
+    ux, uy = box(af), box(bf)
+    uxx, uyy, uxy = box(af * af), box(bf * bf), box(af * bf)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+    ssim = jnp.mean(s[r:s.shape[0] - r, r:s.shape[1] - r])
+    return mse_sim, ssim
+
+
+def _make_measure_row():
+    """One fused device program per shape: mse + ssim of (alt vs unalt) and
+    (alt vs ref) in f32, plus the EXACT 256-long per-value count vector of
+    each u8 image (factorized-one-hot MXU histogram).  The histogram metric
+    itself is finished on the host from those counts in f64 (np.histogram
+    over the weighted value axis), which is BIT-equal to the quirk-#26
+    data-dependent-range oracle: np.histogram depends only on the value
+    multiset, and a u8 image's multiset IS its bincount."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.stats import fixed_histogram
+
+    def counts256(img_u8):
+        return fixed_histogram(img_u8.astype(jnp.int32),
+                               jnp.ones(img_u8.shape, jnp.float32),
+                               256, "fact")
+
+    @jax.jit
+    def measure(alt, unalt, ref):
+        af = alt.astype(jnp.float32)
+        m1 = _ssim_mse_pair(jnp, af, unalt.astype(jnp.float32))
+        m2 = _ssim_mse_pair(jnp, af, ref.astype(jnp.float32))
+        return (jnp.stack(m1 + m2),
+                counts256(alt), counts256(unalt), counts256(ref))
+
+    return measure
+
+
+class _LazyMeasureRow:
+    _fn = None
+
+    def __call__(self, alt, unalt, ref):
+        if _LazyMeasureRow._fn is None:
+            _LazyMeasureRow._fn = _make_measure_row()
+        return _LazyMeasureRow._fn(alt, unalt, ref)
+
+
+_measure_row_jit = _LazyMeasureRow()
+
+
+def _make_measure_ssim_mse():
+    """mse+ssim only (no histogram): the CPU-backend variant.  The device
+    program's factorized one-hot histogram is an MXU algorithm -- on XLA
+    CPU it runs ~78 s per 3052-ish pair (measured), so the CPU path counts
+    values with np.bincount instead."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def measure(alt, unalt, ref):
+        af = alt.astype(jnp.float32)
+        m1 = _ssim_mse_pair(jnp, af, unalt.astype(jnp.float32))
+        m2 = _ssim_mse_pair(jnp, af, ref.astype(jnp.float32))
+        return jnp.stack(m1 + m2)
+
+    return measure
+
+
+class _LazyMeasureSsimMse:
+    _fn = None
+
+    def __call__(self, alt, unalt, ref):
+        if _LazyMeasureSsimMse._fn is None:
+            _LazyMeasureSsimMse._fn = _make_measure_ssim_mse()
+        return _LazyMeasureSsimMse._fn(alt, unalt, ref)
+
+
+_measure_ssim_mse_jit = _LazyMeasureSsimMse()
+
+
+def measure_row_cpu_jax(alt, unalt, ref):
+    """The fused mse+ssim program compiled for the LOCAL CPU backend, plus
+    exact np.bincount histograms.
+
+    Used by the campaign for registration-normalized rows: their ~31
+    distinct crop shapes would each cost a remote-TPU compile (1-2 min over
+    the axon relay) for a sub-second computation, while the CPU backend
+    compiles locally in seconds and the multithreaded f32 compute still
+    beats the f64 host oracles ~10x."""
+    import jax
+    cpu = jax.devices("cpu")[0]
+    alt = np.ascontiguousarray(alt)
+    unalt = np.ascontiguousarray(unalt)
+    ref = np.ascontiguousarray(ref)
+    with jax.default_device(cpu):
+        vals = np.asarray(_measure_ssim_mse_jit(
+            jax.device_put(alt, cpu), jax.device_put(unalt, cpu),
+            jax.device_put(ref, cpu)))
+    ca = np.bincount(alt.reshape(-1), minlength=256)
+    cu = np.bincount(unalt.reshape(-1), minlength=256)
+    cr = np.bincount(ref.reshape(-1), minlength=256)
+    return [float(vals[0]), float(vals[1]), _euclid_from_counts(ca, cu),
+            float(vals[2]), float(vals[3]), _euclid_from_counts(ca, cr)]
+
+
+def _euclid_from_counts(ca: np.ndarray, cb: np.ndarray) -> float:
+    """hist_similarity's normalized euclidean metric from exact per-value
+    counts -- bit-equal to np.histogram on the images (quirk #26 range)."""
+    def hist(c):
+        nz = np.nonzero(c)[0]
+        mn, mx = int(nz[0]), int(nz[-1])
+        if mn == mx:
+            # np.histogram auto-expands a constant image's range to
+            # (v-0.5, v+0.5): all mass lands in bin 128
+            h = np.zeros(256, np.float64)
+            h[128] = c.sum()
+            return h
+        h, _ = np.histogram(np.arange(256, dtype=np.float64), bins=256,
+                            range=(mn, mx), weights=c.astype(np.float64))
+        return h
+    pa = hist(ca)
+    pb = hist(cb)
+    pa = pa / pa.sum()
+    pb = pb / pb.sum()
+    return float(np.sqrt(np.sum((pa - pb) ** 2)) / np.sqrt(2))
+
+
+def measure_row_device(alt, unalt_dev, ref_dev):
+    """(mse, ssim, hist-euclid) of alt-vs-unalt and alt-vs-ref as 6 floats,
+    with mse/ssim from one fused device call (only ``alt`` crosses the host
+    boundary; keep ``unalt_dev``/``ref_dev`` device-resident) and the hist
+    metric finished on host from exact device value counts."""
+    import jax.numpy as jnp
+    vals, ca, cu, cr = _measure_row_jit(
+        jnp.asarray(np.ascontiguousarray(alt)), unalt_dev, ref_dev)
+    vals = np.asarray(vals)
+    ca, cu, cr = np.asarray(ca), np.asarray(cu), np.asarray(cr)
+    return [float(vals[0]), float(vals[1]), _euclid_from_counts(ca, cu),
+            float(vals[2]), float(vals[3]), _euclid_from_counts(ca, cr)]
+
+
 def hist_similarity(image_a, image_b, bins: int = 256):
     """(normalized intersection, normalized euclidean distance,
     bhattacharyya coefficient); euclidean is the metric the campaign reports."""

@@ -34,16 +34,20 @@ def synthetic_radiograph(size: int = 3072, anatomy: str = "thorax",
     if seed is None:
         seed = _ANATOMY_SEEDS.get(anatomy, 7)
     rng = np.random.default_rng(seed)
-    y, x = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    F = np.float32
+    # broadcastable coordinate vectors instead of full-size mgrid planes
+    # (f32 throughout: halves the memory traffic; the generator is host-side
+    # fixture code on the campaign's critical path)
+    c = (np.arange(size, dtype=F) / F(size))
+    x = c[None, :]
+    y = c[:, None]
 
     # attenuation map (line integral of density)
-    atten = np.zeros((size, size), dtype=np.float64)
-
     # soft tissue: one large smooth blob
     cx, cy = rng.uniform(0.35, 0.65, 2)
     rx, ry = rng.uniform(0.25, 0.42, 2)
-    d2 = ((x - cx) / rx) ** 2 + ((y - cy) / ry) ** 2
-    atten += 1.2 * np.clip(1.0 - d2, 0.0, None)
+    d2 = ((x - F(cx)) / F(rx)) ** 2 + ((y - F(cy)) / F(ry)) ** 2
+    atten = F(1.2) * np.maximum(F(1.0) - d2, F(0.0))
 
     # bones: several dense ellipses with sharper edges
     n_bones = rng.integers(4, 9)
@@ -52,28 +56,31 @@ def synthetic_radiograph(size: int = 3072, anatomy: str = "thorax",
         brx = rng.uniform(0.02, 0.12)
         bry = rng.uniform(0.02, 0.12)
         ang = rng.uniform(0, np.pi)
-        xr = (x - bx) * np.cos(ang) + (y - by) * np.sin(ang)
-        yr = -(x - bx) * np.sin(ang) + (y - by) * np.cos(ang)
-        bd2 = (xr / brx) ** 2 + (yr / bry) ** 2
-        atten += 1.8 * np.clip(1.0 - bd2, 0.0, None) ** 0.5
+        ca_, sa = F(np.cos(ang)), F(np.sin(ang))
+        dx = x - F(bx)
+        dy = y - F(by)
+        xr = dx * ca_ + dy * sa
+        yr = dy * ca_ - dx * sa
+        bd2 = (xr / F(brx)) ** 2 + (yr / F(bry)) ** 2
+        atten += F(1.8) * np.sqrt(np.maximum(F(1.0) - bd2, F(0.0)))
 
     # fine trabecular texture inside dense regions
-    tex = rng.normal(0.0, 1.0, (size // 8 + 1, size // 8 + 1))
-    tex = np.kron(tex, np.ones((8, 8)))[:size, :size]
-    atten += 0.05 * tex * (atten > 0.5)
+    tex = rng.normal(0.0, 1.0, (size // 8 + 1, size // 8 + 1)).astype(F)
+    tex = np.repeat(np.repeat(tex, 8, 0), 8, 1)[:size, :size]
+    atten += F(0.05) * tex * (atten > F(0.5))
 
     # exposure heel-effect falloff
-    falloff = 1.0 - 0.15 * ((x - 0.5) ** 2 + (y - 0.5) ** 2)
+    falloff = F(1.0) - F(0.15) * ((x - F(0.5)) ** 2 + (y - F(0.5)) ** 2)
 
     # transmitted intensity (Beer-Lambert), collimated border
-    intensity = full_well * falloff * np.exp(-atten)
+    intensity = F(full_well) * falloff * np.exp(-atten)
     border = int(0.03 * size)
-    mask = np.ones((size, size))
-    mask[:border, :] = mask[-border:, :] = 0.02
-    mask[:, :border] = mask[:, -border:] = 0.02
-    intensity = intensity * mask
+    intensity[:border, :] *= F(0.02)
+    intensity[-border:, :] *= F(0.02)
+    intensity[border:-border, :border] *= F(0.02)
+    intensity[border:-border, -border:] *= F(0.02)
 
     # quantum (Poisson) noise; normal approximation is fine at these counts
-    noisy = intensity + rng.normal(0.0, 1.0, (size, size)) * np.sqrt(
-        np.clip(intensity, 1.0, None))
+    noisy = intensity + rng.standard_normal((size, size), dtype=F) * np.sqrt(
+        np.maximum(intensity, F(1.0)))
     return np.clip(noisy, 0, 65535).astype(np.uint16)

@@ -65,6 +65,8 @@ def test_cli_process_with_debug_dump(tmp_path, phantom_256):
 
 
 def test_cli_batch(tmp_path, phantom_256):
+    """The chunked lax.map batch path (incl. zero-padding the last partial
+    chunk to the compiled B) must write exactly what `process` writes."""
     from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
     for i in range(2):
         uio.save_raw(tmp_path / f"img_{i}.raw", phantom_256)
@@ -73,6 +75,12 @@ def test_cli_batch(tmp_path, phantom_256):
     assert rc == 0
     assert (tmp_path / "out" / "img_0.bmp").exists()
     assert (tmp_path / "out" / "img_1.bmp").exists()
+    rc = cli.main(["process", "--size", "256", str(tmp_path / "img_0.raw"),
+                   str(tmp_path / "single_0.bmp")])
+    assert rc == 0
+    import numpy as np
+    np.testing.assert_array_equal(uio.load_bmp(tmp_path / "out" / "img_0.bmp"),
+                                  uio.load_bmp(tmp_path / "single_0.bmp"))
 
 
 def test_cli_timing_and_variants(tmp_path, phantom_256):

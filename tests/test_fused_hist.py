@@ -101,7 +101,7 @@ def test_sdev_noise_hist_fused_interpret():
     band = rng.normal(0, 0.02, (512, 512)).astype(np.float32)
     band[rng.uniform(size=(512, 512)) < 0.01] = 0.0
     sd, h = stats.sdev_and_noise_histogram(jnp.asarray(band), cfg,
-                                           "fused_interpret")
+                                           "fused_sdev_interpret")
     np.testing.assert_allclose(np.asarray(sd), golden.img_sdev(band),
                                rtol=0, atol=2e-6)
     h2 = np.asarray(stats.noise_histogram(sd, cfg, "fused_interpret"))
@@ -117,7 +117,7 @@ def test_sdev_noise_hist_fallback_partial_coverage():
     cfg = MusicaConfig(image_size=512)
     band = rng.normal(0, 0.02, (40, 40)).astype(np.float32)  # n_pad = 48 != 40
     sd, h = stats.sdev_and_noise_histogram(jnp.asarray(band), cfg,
-                                           "fused_interpret")
+                                           "fused_sdev_interpret")
     sd_ref = stats.img_sdev(jnp.asarray(band))
     np.testing.assert_array_equal(np.asarray(sd), np.asarray(sd_ref))
     np.testing.assert_array_equal(

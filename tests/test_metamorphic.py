@@ -61,6 +61,50 @@ def test_ssim_jax_matches_numpy_oracle(rng):
     assert abs(metrics.ssim_similarity(a, a, method="jax") - 1.0) < 1e-6
 
 
+def test_measure_row_device_matches_host_oracles(rng):
+    """The fused one-call device metric program (mse+ssim+hist-euclid x2)
+    must track the f64 host oracles; exercised on CPU-jax here, used on TPU
+    by the campaign."""
+    import jax.numpy as jnp
+    alt = rng.integers(0, 256, (173, 211)).astype(np.uint8)
+    unalt = np.clip(alt.astype(int) + rng.integers(-25, 25, alt.shape),
+                    0, 255).astype(np.uint8)
+    ref = np.clip(alt.astype(int) + rng.integers(-5, 5, alt.shape),
+                  0, 255).astype(np.uint8)
+    vals = metrics.measure_row_device(alt, jnp.asarray(unalt),
+                                      jnp.asarray(ref))
+    expected = [
+        metrics.mse_similarity(alt, unalt),
+        metrics.ssim_similarity(alt, unalt, method="numpy"),
+        metrics.hist_similarity(alt, unalt)[1],
+        metrics.mse_similarity(alt, ref),
+        metrics.ssim_similarity(alt, ref, method="numpy"),
+        metrics.hist_similarity(alt, ref)[1],
+    ]
+    np.testing.assert_allclose(vals, expected, rtol=0, atol=2e-5)
+    # identity row: mse/ssim exactly 1, hist distance exactly 0
+    v_id = metrics.measure_row_device(alt, jnp.asarray(alt), jnp.asarray(alt))
+    np.testing.assert_allclose(v_id, [1, 1, 0, 1, 1, 0], rtol=0, atol=1e-6)
+
+
+def test_campaign_device_metric_path_matches_host(tmp_path, monkeypatch):
+    """run_campaign with the device metric path forced on (CPU-jax) must
+    reproduce the host-path CSV numbers to ~1e-4."""
+    res_host = campaign.run_campaign(
+        out_dir=str(tmp_path / "host"), image_size=256,
+        anatomies=["knee"], seed=3)
+    monkeypatch.setattr(metrics, "device_metrics_available", lambda: True)
+    res_dev = campaign.run_campaign(
+        out_dir=str(tmp_path / "dev"), image_size=256,
+        anatomies=["knee"], seed=3)
+    for csv_name in (campaign.R_CSV, campaign.NR_CSV, campaign.S_CSV):
+        for rh, rd in zip(res_host[csv_name][1:], res_dev[csv_name][1:]):
+            assert rh[:2] == rd[:2]
+            np.testing.assert_allclose(
+                [float(v) for v in rh[2:]], [float(v) for v in rd[2:]],
+                rtol=0, atol=2e-4, err_msg=f"{csv_name} {rh[:2]}")
+
+
 def test_hist_similarity(rng):
     a = rng.integers(0, 256, (64, 64)).astype(np.uint8)
     inter, e, bc = metrics.hist_similarity(a, a)
