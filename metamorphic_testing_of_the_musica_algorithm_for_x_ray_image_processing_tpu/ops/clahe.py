@@ -146,7 +146,29 @@ def clahe_apply(recon: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
 
 def clahe_grade(recon: jnp.ndarray, relevant: jnp.ndarray,
                 cfg: MusicaConfig, method: str = "auto") -> jnp.ndarray:
-    """Full CLAHE gradation: histograms -> clipped CDF LUTs -> blended apply."""
-    h = clahe_histograms(recon, relevant, cfg, method)
+    """Full CLAHE gradation: histograms -> clipped CDF LUTs -> blended apply.
+
+    On TPU the apply step uses the fused Pallas kernel
+    (ops/pallas/clahe_apply.py): the XLA formulation's 12 full-image LUT
+    gathers cost ~837 ms at 3072 on v5e vs ~3 ms for the kernel's one-hot
+    MXU lookup (bit-preserving bf16x3 LUT planes)."""
+    import jax
+    # "fused"/"fused_interpret" name the pipeline's image->histogram Pallas
+    # kernels, which don't exist for the CLAHE joint histogram -- map them
+    # to fixed_histogram's auto dispatch (pallas on TPU, fact elsewhere)
+    # instead of its one-hot scan fallback
+    hist_method = ("auto" if method in ("auto", "fused", "fused_interpret")
+                   else method)
+    h = clahe_histograms(recon, relevant, cfg, hist_method)
     px, py = clahe_curves(h, cfg)
+    n = recon.shape[-1]
+    use_fused = (method in ("auto", "fused")
+                 and jax.default_backend() == "tpu"
+                 and recon.ndim == 2 and n % cfg.clahe_tiles == 0
+                 and any((n // cfg.clahe_tiles) % r == 0
+                         for r in (96, 48, 32, 16, 8)))
+    if use_fused:
+        from .pallas.clahe_apply import clahe_apply_fused
+        return clahe_apply_fused(recon, py, t=cfg.clahe_tiles,
+                                 bins=cfg.clahe_bins)
     return clahe_apply(recon, px, py, cfg)

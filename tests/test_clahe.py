@@ -74,6 +74,47 @@ def test_clahe_grade_matches_golden(rng):
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4)
 
 
+def test_clahe_apply_fused_matches_xla(rng):
+    """The Pallas fused apply kernel (one-hot MXU LUT lookup, bf16x3
+    bit-preserving planes) vs the XLA gather formulation, interpret mode.
+    On real TPU hardware the two match to the last ulp of the XLA-CPU
+    truth (scripts/bench_clahe.py verification runs); across compilers
+    the tolerance is ~2e-7 (1-ulp FMA wiggle)."""
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.ops.pallas.clahe_apply import clahe_apply_fused
+    cfg = MusicaConfig(image_size=256, enable_clahe=True)
+    recon = rng.uniform(-0.1, 1.1, (256, 256)).astype(np.float32)
+    recon[rng.uniform(size=(256, 256)) < 0.01] = 1.0  # exact-last path
+    relevant = (rng.uniform(size=(256, 256)) < 0.7).astype(np.float32)
+    h = clahe.clahe_histograms(jnp.asarray(recon), jnp.asarray(relevant), cfg)
+    px, py = clahe.clahe_curves(h, cfg)
+    ref = np.asarray(clahe.clahe_apply(jnp.asarray(recon), px, py, cfg))
+    got = np.asarray(clahe_apply_fused(jnp.asarray(recon), py,
+                                       t=cfg.clahe_tiles, bins=cfg.clahe_bins,
+                                       interpret=True))
+    finite = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=0, atol=5e-7)
+
+
+def test_clahe_bf16x3_split_survives_jit():
+    """The bf16x3 LUT decomposition must reconstruct f32 bit-for-bit EVEN
+    INSIDE a jit: XLA's excess-precision rewrite elides f32->bf16->f32
+    round trips unless blocked by optimization barriers (the planes then
+    silently degrade to single-bf16 precision, max error 2^-9)."""
+    import jax
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.ops.pallas.clahe_apply import _split_bf16x3
+    rng = np.random.default_rng(9)
+    a = rng.uniform(0, 1.0002, (4, 4, 256)).astype(np.float32)
+
+    @jax.jit
+    def rec(x):
+        hi, lo, lo2 = _split_bf16x3(x)
+        return (hi.astype(jnp.float32) + lo.astype(jnp.float32)) \
+            + lo2.astype(jnp.float32)
+
+    np.testing.assert_array_equal(np.asarray(rec(jnp.asarray(a))), a)
+
+
 def test_clahe_apply_center_pixel_identity(rng):
     """At a tile center the blend must equal the single-tile LUT value."""
     cfg = MusicaConfig(image_size=128, enable_clahe=True)
