@@ -102,6 +102,16 @@ def cmd_batch(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     B = max(1, args.batch)
     t0 = time.perf_counter()
+
+    def save_chunk(chunk, outs_dev):
+        # np.asarray fences the async device dispatch
+        for f, out in zip(chunk, np.asarray(outs_dev)):
+            name = os.path.splitext(os.path.basename(f))[0] + ".bmp"
+            uio.save_bmp8(os.path.join(args.out_dir, name), out)
+
+    # dispatch-ahead: enqueue chunk k+1 on the device (jax dispatch is
+    # async) before fetching/saving chunk k, so host IO overlaps compute
+    pending = None
     for start in range(0, len(files), B):
         chunk = files[start:start + B]
         raws = np.stack([uio.load_raw(f, args.size,
@@ -112,10 +122,12 @@ def cmd_batch(args) -> int:
             raws = np.concatenate(
                 [raws, np.zeros((B - len(chunk),) + raws.shape[1:],
                                 raws.dtype)])
-        outs = np.asarray(musica.process_batch_jit(jnp.asarray(raws), cfg))
-        for f, out in zip(chunk, outs):
-            name = os.path.splitext(os.path.basename(f))[0] + ".bmp"
-            uio.save_bmp8(os.path.join(args.out_dir, name), out)
+        outs_dev = musica.process_batch_jit(jnp.asarray(raws), cfg)
+        if pending is not None:
+            save_chunk(*pending)
+        pending = (chunk, outs_dev)
+    if pending is not None:
+        save_chunk(*pending)
     dt = time.perf_counter() - t0
     print(f"{len(files)} images in {dt:.2f}s "
           f"({len(files) * args.size ** 2 / dt / 1e9:.3f} GPix/s incl. IO+compile)")
