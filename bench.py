@@ -34,10 +34,12 @@ def main():
     np.asarray(f(x))  # compile + warm
 
     # measure the repeat-cost of K pipeline invocations against K=1 to
-    # subtract the fixed host<->device round-trip overhead of the relay
+    # subtract the fixed host<->device round-trip overhead of the relay;
+    # K=25 with best-of-6 keeps single relay hiccups out of the estimate
+    # (same methodology as scripts/profile_phases.py)
     def timed(k):
         best = float("inf")
-        for _ in range(5):
+        for _ in range(6):
             t0 = time.perf_counter()
             s = None
             for _ in range(k):
@@ -47,8 +49,8 @@ def main():
         return best
 
     t1 = timed(1)
-    t5 = timed(5)
-    per_iter = max((t5 - t1) / 4.0, 1e-9)
+    tk = timed(25)
+    per_iter = max((tk - t1) / 24.0, 1e-9)
     # guard: if the marginal estimate is nonsensical, fall back to t1
     if per_iter <= 0 or per_iter > t1:
         per_iter = t1
