@@ -181,6 +181,43 @@ def test_campaign_smoke(tmp_path):
     assert by_name["gn_4.0"] > 0.9
 
 
+def test_campaign_input_dir_with_dicom_reference(tmp_path, monkeypatch, rng):
+    """The real-data campaign entry (script.py:374-405 semantics): raws read
+    from <input_dir>/<anatomy>/image.raw and the vendor 'proc' DICOM used as
+    ground truth (16->8-bit + invert, margin-cropped) -- the ovd row must
+    measure against the DICOM-derived reference, not the trivial
+    self-reference."""
+    import sys
+    import types
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.utils import io as uio
+
+    size = 256
+    anat = "knee"
+    d = tmp_path / "in" / anat
+    d.mkdir(parents=True)
+    uio.save_raw(d / "image.raw", synthetic_radiograph(size, anat))
+    ref16 = rng.integers(0, 65536, (size, size)).astype(np.uint16)
+    (d / "proc").write_bytes(ref16.tobytes())
+
+    stub = types.ModuleType("pydicom")
+    stub.dcmread = lambda p: types.SimpleNamespace(
+        pixel_array=np.frombuffer(open(p, "rb").read(),
+                                  np.uint16).reshape(size, size))
+    monkeypatch.setitem(sys.modules, "pydicom", stub)
+
+    res = campaign.run_campaign(out_dir=str(tmp_path / "out"),
+                                image_size=size, anatomies=[anat],
+                                input_dir=str(tmp_path / "in"))
+    row = res[campaign.S_CSV][1]
+    assert row[0] == anat
+    # vs a random DICOM reference the similarities are far from identity
+    assert float(row[1]) < 0.999 and float(row[2]) < 0.999
+    # and the direct rows' normalized columns divide by that ovd
+    r = res[campaign.R_CSV][1]
+    np.testing.assert_allclose(float(r[8]),
+                               float(r[5]) / float(row[1]), rtol=1e-9)
+
+
 def test_slope_analysis_flags_trends():
     header = ["Alteration", "delta mse"]
     rows = [header]
