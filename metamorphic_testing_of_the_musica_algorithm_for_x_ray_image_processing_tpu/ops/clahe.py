@@ -162,8 +162,12 @@ def clahe_grade(recon: jnp.ndarray, relevant: jnp.ndarray,
     h = clahe_histograms(recon, relevant, cfg, hist_method)
     px, py = clahe_curves(h, cfg)
     n = recon.shape[-1]
+    # power-of-two bins required: the kernel's ulp-exactness argument relies
+    # on x*bins and i/bins being exact power-of-two scalings (Mosaic lowers
+    # general f32 division as an approximate reciprocal)
     use_fused = (method in ("auto", "fused")
                  and jax.default_backend() == "tpu"
+                 and cfg.clahe_bins & (cfg.clahe_bins - 1) == 0
                  and recon.ndim == 2 and n % cfg.clahe_tiles == 0
                  and any((n // cfg.clahe_tiles) % r == 0
                          for r in (96, 48, 32, 16, 8)))

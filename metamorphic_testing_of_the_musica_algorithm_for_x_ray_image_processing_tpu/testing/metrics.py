@@ -87,8 +87,8 @@ def _make_ssim_jax():
     """Device SSIM (f32): same formula as the NumPy oracle with the uniform
     filter as reflect-pad + separable 7-tap box sums.  jitted per shape; at
     3052^2 the compile is ~3.5 s and a warm call 0.48 s including the two
-    host->device u8 transfers (tests/test_metrics.py pins |jax - numpy|
-    < 1e-5)."""
+    host->device u8 transfers (tests/test_metamorphic.py::
+    test_ssim_jax_matches_numpy_oracle pins |jax - numpy| < 1e-5)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
