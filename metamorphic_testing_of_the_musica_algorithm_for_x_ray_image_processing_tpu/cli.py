@@ -147,15 +147,24 @@ def cmd_report(args) -> int:
 
 
 def cmd_campaign(args) -> int:
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
     from .testing.campaign import run_campaign
     run_campaign(out_dir=args.out_dir, image_size=args.size,
-                 anatomies=args.anatomies.split(",") if args.anatomies else None)
+                 anatomies=args.anatomies.split(",") if args.anatomies else None,
+                 input_dir=args.input_dir,
+                 seed=args.seed,
+                 save_images=args.save_images,
+                 quirks=not args.no_quirks,
+                 transpose=not args.no_transpose)
     return 0
 
 
 def cmd_slope(args) -> int:
     from .testing.analysis import slope_analysis_file
-    for line in slope_analysis_file(args.csv, out_file=args.out):
+    for line in slope_analysis_file(args.csv, out_file=args.out,
+                                    wilcoxon=args.wilcoxon):
         print(line)
     return 0
 
@@ -213,12 +222,26 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="mt_out")
     p.add_argument("--anatomies", default=None,
                    help="comma-separated subset of foot,hand,head,knee,pelvis,thorax")
+    p.add_argument("--input-dir", default=None,
+                   help="directory of real anatomy data (<anatomy>/image.raw "
+                        "+ optional <anatomy>/proc vendor DICOM ground "
+                        "truth, the reference harness's INPUT_PATH layout); "
+                        "default: synthetic phantoms")
+    p.add_argument("--save-images", action="store_true",
+                   help="save every altered input raw and processed BMP per "
+                        "case (script.py:417-421 save_image behavior)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="RNG seed for the noise/collimator perturbations")
     p.set_defaults(fn=cmd_campaign)
 
     p = sub.add_parser("slope-analysis",
                        help="per-alteration linear-regression slope test")
     p.add_argument("csv")
     p.add_argument("--out", default=None)
+    p.add_argument("--wilcoxon", action="store_true",
+                   help="also run the Wilcoxon signed-rank test per group "
+                        "(the reference's commented-out branch, "
+                        "test/reg_vs_dir_delta/script.py:30-33)")
     p.set_defaults(fn=cmd_slope)
 
     p = sub.add_parser("mean-cnr", help="mean CNR of debug BMPs in a directory")

@@ -79,18 +79,21 @@ def _measure_row(alt, unalt, ref, ovd):
             (ref_hist - ovd_hist) / (1.0 - ovd_hist) if ovd_hist != 1.0 else 0.0]
 
 
-def default_runner(image_size: int, quirks: bool = True) -> Callable:
+def default_runner(image_size: int, quirks: bool = True,
+                   transpose: bool = True) -> Callable:
     """In-process system under test: raw array (file layout) -> output u8.
 
     Applies the standalone CLI's transpose on load
-    (test/standalone/main.cpp:67-75) so results match `cli process`.
+    (test/standalone/main.cpp:67-75) so results match `cli process`;
+    ``transpose=False`` mirrors `cli process --no-transpose`.
     """
     from ..models import musica
     import jax.numpy as jnp
     cfg = MusicaConfig(image_size=image_size, quirks=quirks)
 
     def run(raw_u16: np.ndarray) -> np.ndarray:
-        return np.asarray(musica.process_jit(jnp.asarray(raw_u16.T), cfg))
+        im = raw_u16.T if transpose else raw_u16
+        return np.asarray(musica.process_jit(jnp.asarray(im), cfg))
 
     return run
 
@@ -124,11 +127,19 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
                  input_dir: Optional[str] = None,
                  runner: Optional[Callable] = None,
                  seed: int = 0,
-                 save_images: bool = False) -> dict:
-    """Run the full campaign; returns {csv_name: rows} and writes the CSVs."""
+                 save_images: bool = False,
+                 quirks: bool = True,
+                 transpose: bool = True) -> dict:
+    """Run the full campaign; returns {csv_name: rows} and writes the CSVs.
+
+    ``quirks``/``transpose`` configure the default in-process runner (they
+    are ignored when an explicit ``runner`` is passed); ``save_images``
+    mirrors the reference harness, which saves every altered input raw and
+    processed BMP per case (script.py:417-421)."""
     t_start = time.time()
     anatomies = list(anatomies or ANATOMIES)
-    runner = runner or default_runner(image_size)
+    runner = runner or default_runner(image_size, quirks=quirks,
+                                      transpose=transpose)
     rng = np.random.default_rng(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -141,9 +152,14 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
                S_CSV: [["raw file", "mse similarity", "ssim similarity",
                         "histogram distance"]]}
 
-    def save_case(name, img_u8):
+    def save_case(name, img_u8, raw_u16=None):
+        """Mirror the reference's per-case artifacts: the altered input raw
+        (save_image, script.py:417-421 -- zero-filled 256-byte header) plus
+        the processed BMP output."""
         if save_images:
             uio.save_bmp8(out / f"{name}.bmp", img_u8)
+            if raw_u16 is not None:
+                uio.save_raw(out / f"{name}.raw", raw_u16)
 
     for anat in anatomies:
         if input_dir:
@@ -184,7 +200,7 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
 
         def direct(name, alt_img):
             alt_out = runner(alt_img)
-            save_case(f"{anat}_{name}", alt_out)
+            save_case(f"{anat}_{name}", alt_out, raw_u16=alt_img)
             results[R_CSV].append(
                 [anat, name, *_measure_row(alt_out, unalt_m, reference_m,
                                            ovd)])

@@ -20,7 +20,8 @@ import numpy as np
 import pytest
 
 from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing.analysis import (
-    SLOPE_CRITERION, mean_cnr_dir, slope_analysis, slope_analysis_file)
+    SLOPE_CRITERION, mean_cnr_dir, slope_analysis, slope_analysis_file,
+    wilcoxon_analysis, wilcoxon_signed_rank)
 
 REF = "/root/reference/test"
 needs_reference = pytest.mark.skipif(
@@ -115,6 +116,71 @@ def test_slope_analysis_pinned_values():
     # overall criterion tally on the committed data
     flags = sum(1 for _, flag in res.values() if flag)
     assert flags == 20
+
+
+@needs_reference
+def test_wilcoxon_matches_scipy_on_committed_table():
+    """The ported commented-out branch (test/reg_vs_dir_delta/script.py:30-33):
+    wilcoxon(data - mean(data)) per group of 5 -- our self-contained
+    implementation must agree with scipy.stats.wilcoxon on every group of the
+    committed delta table."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rows = _load_results_csv()
+    res = wilcoxon_analysis(rows)
+    assert len(res) == 36
+    k = 0
+    for c in range(1, len(rows[0])):
+        data = []
+        for r in range(1, len(rows)):
+            data.append(float(rows[r][c]))
+            if len(data) == 5:
+                d = np.asarray(data) - np.mean(data)
+                expected = scipy_stats.wilcoxon(d)
+                metric, alteration, stat, p = res[k]
+                assert metric == rows[0][c]
+                assert stat == pytest.approx(expected.statistic, abs=1e-12)
+                assert p == pytest.approx(expected.pvalue, rel=1e-10)
+                k += 1
+                data = []
+    assert k == 36
+
+
+def test_wilcoxon_signed_rank_matches_scipy_cases():
+    """Exact path, tie path, and zero path all agree with scipy."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+    cases = [
+        np.array([0.3, -1.2, 2.5, -0.7, 1.9]),          # exact, no ties
+        np.array([1.0, -1.0, 2.0, -2.0, 3.0]),          # |d| ties -> approx
+        np.array([0.0, -1.5, 2.5, -0.5, 1.0]),          # zero -> approx
+        np.array([0.11, -0.23, 0.37, -0.41, 0.53, -0.61, 0.7, -0.83]),
+    ]
+    for d in cases:
+        stat, p = wilcoxon_signed_rank(d)
+        exp = scipy_stats.wilcoxon(d)
+        assert stat == pytest.approx(exp.statistic, abs=1e-12), d
+        assert p == pytest.approx(exp.pvalue, rel=1e-10), d
+
+
+def test_slope_analysis_file_wilcoxon_lines(tmp_path):
+    p = tmp_path / "results.csv"
+    p.write_text("Alteration;delta mse\n" +
+                 "".join(f"x_{i};{i * 0.05 + (0.013 * (i % 2))}\n"
+                         for i in range(5)))
+    lines = slope_analysis_file(str(p), wilcoxon=True)
+    assert len(lines) == 1
+    assert "Test Statistic: " in lines[0] and "p-value: " in lines[0]
+
+
+def test_cli_slope_analysis_wilcoxon(tmp_path, capsys):
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
+    p = tmp_path / "results.csv"
+    p.write_text("Alteration;delta mse\n" +
+                 "".join(f"x_{i};{i * 0.07 + 0.011 * (i % 3)}\n"
+                         for i in range(5)))
+    rc = cli.main(["slope-analysis", str(p), "--wilcoxon"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Test Statistic: " in out and "p-value: " in out
 
 
 @needs_reference
