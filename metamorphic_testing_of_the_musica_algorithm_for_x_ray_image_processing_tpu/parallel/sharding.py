@@ -52,37 +52,53 @@ def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
     """Batched pipeline with batch sharded over ``data`` and image rows over
     ``space``.  Input [B, n, n] uint16, output [B, n-2m, n-2m] uint8.
 
-    With ``space > 1`` the image axes are partitioned, and GSPMD cannot
-    partition the hand-written Pallas histogram kernels -- the XLA
-    factorized-one-hot path ('fact') is substituted automatically (identical
-    integer counts, a few ms slower); with pure data parallelism each device
-    runs the full single-image program including the Pallas kernels.
+    Both mesh shapes run the UNBATCHED single-image program (``lax.map``
+    over the local batch) -- never ``vmap``, whose batched strided-slice
+    layouts cost 2-4x per image on TPU (docs/PERFORMANCE.md):
+
+    * ``space == 1``: fully-manual ``shard_map`` over ``data``; each device
+      runs the optimal single-image program including the Pallas histogram
+      kernels.
+    * ``space > 1``: partial-manual ``shard_map`` (manual over ``data``,
+      GSPMD-auto over ``space``): the per-image body is annotated with a
+      ``P("space", None)`` row sharding and GSPMD inserts the 2-row conv
+      halo exchanges and histogram all-reduces.  GSPMD cannot partition the
+      hand-written Pallas kernels, so the XLA factorized-one-hot histogram
+      path ('fact') is substituted (identical integer counts).
     """
     if hist_method == "auto" and mesh.shape["space"] > 1:
         hist_method = "fact"
     in_spec = NamedSharding(mesh, P("data", "space", None))
-    out_spec = NamedSharding(mesh, P("data", "space", None))
 
     if mesh.shape["space"] == 1:
         # pure data parallelism: shard_map + per-device lax.map runs the
         # optimal SINGLE-image program on each chip and loops any extra
-        # local batch sequentially (vmap's batched strided-slice layouts
-        # cost 2-4x per image; lax.map measures 1.09x the single-image
-        # rate at B=4, scripts/exp_batch.py)
+        # local batch sequentially (lax.map measures 1.09x the single-image
+        # rate at B=4 vs vmap's 2-4x penalty; scripts/exp_batch.py)
+        # check_vma=False: the Pallas kernels' out_shapes carry no varying-
+        # manual-axes annotation, which JAX >= 0.9 rejects inside a manual
+        # shard_map region (only surfaces on TPU, where 'auto' dispatches
+        # to the Pallas histogram kernels)
         run = jax.jit(jax.shard_map(
             lambda b: jax.lax.map(
                 lambda im: musica.musica_forward(im, cfg, hist_method)["out_u8"],
                 b),
             mesh=mesh, in_specs=P("data", None, None),
-            out_specs=P("data", None, None)))
+            out_specs=P("data", None, None), check_vma=False))
         return run(jax.device_put(imgs_u16, in_spec))
 
-    @partial(jax.jit, static_argnames=("cfg", "hist_method"),
-             in_shardings=(in_spec,), out_shardings=out_spec)
-    def run(b, cfg=cfg, hist_method=hist_method):
-        return jax.vmap(
-            lambda im: musica.musica_forward(im, cfg, hist_method)["out_u8"])(b)
+    # data x space: manual over `data`, auto (GSPMD) over `space`.  The body
+    # sees the local [B/data, n, n] shard still row-sharded over `space`;
+    # lax.map keeps the unbatched program per image while GSPMD partitions
+    # each image's rows across the `space` subgroup.
+    def body(b):
+        b = jax.lax.with_sharding_constraint(b, P(None, "space", None))
+        return jax.lax.map(
+            lambda im: musica.musica_forward(im, cfg, hist_method)["out_u8"], b)
 
+    run = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("data", None, None),
+        out_specs=P("data", None, None), axis_names={"data"}))
     return run(jax.device_put(imgs_u16, in_spec))
 
 
@@ -98,18 +114,23 @@ def throughput_step(cfg: MusicaConfig, mesh: Mesh, batch_per_device: int = 1):
     if mesh.shape["space"] == 1:
         @jax.jit
         @partial(jax.shard_map, mesh=mesh, in_specs=P("data", None, None),
-                 out_specs=P())
+                 out_specs=P(), check_vma=False)
         def step(b):
             out = jax.lax.map(
                 lambda im: musica.musica_forward(im, cfg)["out_u8"], b)
             return jax.lax.psum(out.astype(jnp.uint32).sum(), "data")
     else:
-        @partial(jax.jit, in_shardings=(in_spec,),
-                 out_shardings=NamedSharding(mesh, P()))
-        def step(b):
-            out = jax.vmap(
-                lambda im: musica.musica_forward(im, cfg, "fact")["out_u8"])(b)
-            return out.astype(jnp.uint32).sum()
+        # same hybrid formulation as process_sharded: manual over `data`,
+        # GSPMD-auto row sharding over `space`, unbatched program via lax.map
+        def body(b):
+            b = jax.lax.with_sharding_constraint(b, P(None, "space", None))
+            out = jax.lax.map(
+                lambda im: musica.musica_forward(im, cfg, "fact")["out_u8"], b)
+            return jax.lax.psum(out.astype(jnp.uint32).sum(), "data")
+
+        step = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=P("data", None, None),
+            out_specs=P(), axis_names={"data"}))
 
     rng = np.random.default_rng(0)
     example = rng.integers(0, 65535, (b_global, cfg.image_size, cfg.image_size),
