@@ -66,6 +66,16 @@ def cmd_process(args) -> int:
         # MEASURE_PROCESS analogue: per-phase fenced timing
         out, times = musica.timed_process(raw, cfg)
         print(" \t ".join(f"{k}: {v:.2f}" for k, v in times.items()))
+    elif args.aot_cache:
+        # AOT executable cache: skips the multi-minute pipeline compile in
+        # fresh processes (utils/aot_cache.py; silent fallback to jit)
+        from .utils.aot_cache import cached_compile
+        example = jnp.asarray(raw)
+        fwd = cached_compile(
+            lambda im: musica.musica_forward(im, cfg)["out_u8"],
+            key_parts=("process", cfg), example_args=(example,),
+            verbose=True)
+        out = np.asarray(fwd(example))
     elif args.debug_dump:
         import jax
         fwd = jax.jit(
@@ -198,6 +208,11 @@ def main(argv=None) -> int:
                    help="enable the CLAHE gradation variant (ENABLE_CLAHE)")
     p.add_argument("--linear-gradation", action="store_true",
                    help="grade the squared image (GRAD_WITH_LINEAR_IMAGE)")
+    p.add_argument("--aot-cache", action="store_true",
+                   help="cache the compiled pipeline executable across "
+                        "processes (~/.cache/musica_tpu_aot or "
+                        "$MUSICA_AOT_CACHE); cold-start compile drops from "
+                        "minutes to seconds on a cache hit")
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("batch", help="process a glob of raw files")

