@@ -113,17 +113,31 @@ def curve_get_y_sorted(px: jnp.ndarray, py: jnp.ndarray,
     -- 0.72 -> 2.8 ms for the tone map: XLA materializes the tree's carried
     intermediates instead of fusing them into one elementwise pass; see
     docs/PERFORMANCE.md negative results.)
+
+    Evaluated as a LAST-TRUE-WINS select chain over ``lt[i] = px[i] < x``:
+    px non-decreasing makes lt monotone non-increasing in i, so the unique
+    matching interval ``lt[i] & ~lt[i+1]`` is simply the LAST i with lt[i]
+    true -- each interval needs 1 compare + 1 select instead of 2 compares
+    + an AND + a select (~193 -> ~130 VPU ops/pixel for the 33-point
+    contrast curve).  Zero-width duplicate intervals at segment joins can
+    never be the last true index (lt[j] == lt[j+1] there), matching the
+    disjoint-interval formulation; x beyond px[-1] falls to 0.0 via the
+    final lt[n-1] select; the per-interval lerp arithmetic is unchanged, so
+    the selected value is bit-identical.
     """
     x = x.astype(F32)
     n = px.shape[0]
-    lt = [px[i] < x for i in range(n - 1)]
-    ge = [px[i] >= x for i in range(n)]
-    result = jnp.where(x == px[0], py[0], F32(0.0))
-    for i in range(n - 1):
+    lt = [px[i] < x for i in range(n)]
+
+    def val(i):
         m = (py[i + 1] - py[i]) / (px[i + 1] - px[i])
-        val = m * (x - px[i]) + py[i]
-        result = jnp.where(lt[i] & ge[i + 1], val, result)
-    return result
+        return m * (x - px[i]) + py[i]
+
+    result = jnp.where(lt[0], val(0),
+                       jnp.where(x == px[0], py[0], F32(0.0)))
+    for i in range(1, n - 1):
+        result = jnp.where(lt[i], val(i), result)
+    return jnp.where(lt[n - 1], F32(0.0), result)
 
 
 def curve_get_y_adaptive(px: jnp.ndarray, py: jnp.ndarray,
