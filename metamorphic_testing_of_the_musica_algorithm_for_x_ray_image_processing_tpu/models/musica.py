@@ -54,14 +54,23 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
 
     # ---- phase 4: analysis --------------------------------------------------
     sdevs: Dict[int, jnp.ndarray] = {}
-    max_bins: Dict[int, jnp.ndarray] = {}
-    for i in cfg.analysis_levels:
-        sd, h = stats.sdev_and_noise_histogram(bandpass[i], cfg, hist_method)
-        sdevs[i] = sd
-        _, mb = stats.histogram_max(h)
-        max_bins[i] = mb
+    if hist_method.startswith("fused_sdev"):
+        # opt-in combined sdev+hist kernel path (per level)
+        max_bins = {}
+        for i in cfg.analysis_levels:
+            sd, h = stats.sdev_and_noise_histogram(bandpass[i], cfg,
+                                                   hist_method)
+            sdevs[i] = sd
+            _, max_bins[i] = stats.histogram_max(h)
+            if want_intermediates:
+                inter[f"noise_hist_{i}"] = h
+    else:
+        for i in cfg.analysis_levels:
+            sdevs[i] = stats.img_sdev(bandpass[i])
+        hists, max_bins = stats.analysis_noise_hists(sdevs, cfg, hist_method)
         if want_intermediates:
-            inter[f"noise_hist_{i}"] = h
+            for i in cfg.analysis_levels:
+                inter[f"noise_hist_{i}"] = hists[i]
 
     curve_list = []
     for i in range(L):

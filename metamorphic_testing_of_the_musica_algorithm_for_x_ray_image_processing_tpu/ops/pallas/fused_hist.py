@@ -70,30 +70,57 @@ def _total_or_in_group(z, tile: int):
     return p
 
 
+def _tree_sum(parts):
+    """Balanced pairwise sum.  All inputs/partials are exact f32 integers
+    below 2^24 (caller-enforced), so every intermediate is exact and the
+    result is bit-identical for ANY association order."""
+    while len(parts) > 1:
+        nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 def _accumulate_fact(bins, w, out_ref, C: int, F: int):
     """Per-row factorized one-hot accumulation (see histogram.py).
 
     Counts must stay EXACT integers (the GLSL histogram is a uint32 atomic):
     each per-row f32 matmul partial is bounded by K * max_weight(100) < 2^24
-    and therefore exact; cross-row and cross-step accumulation is int32.
+    and therefore exact.  Rows are INDEPENDENT dots whose f32 partials are
+    tree-summed in groups sized so every f32 partial sum stays < 2^24
+    (exact, order-free), with int32 accumulation across groups -- unlike the
+    original serial ``acc += part`` chain this has no MXU->VPU dependency
+    per row, so Mosaic pipelines the one-hot builds against the dots
+    (measured 2-3x on the hist kernels, scripts/exp_analysis.py).
     (Grouping rows into wider contractions via lane-concat is rejected by
     Mosaic: "offset mismatch on non-concat dimension".)
     """
-    rows = bins.shape[0]
+    rows, width = bins.shape
     iota_c = jax.lax.broadcasted_iota(I32, (C, 1), 0)
     iota_f = jax.lax.broadcasted_iota(I32, (F, 1), 0)
+    # group * width * max_weight(100) < 2^24 keeps every f32 partial exact
+    grp = max(1, (1 << 24) // (width * 100 + 1))
     acc = jnp.zeros(out_ref.shape, I32)
+    parts = []
     for r in range(rows):
         b_row = bins[r:r + 1, :]
         w_row = w[r:r + 1, :]
         cb = b_row // F
         fb = b_row % F
-        a_t = jnp.where(cb == iota_c, w_row, 0.0).astype(jnp.bfloat16)
-        f_t = (fb == iota_f).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
+        # f32 one-hots, NO bf16 casts: every value (0/1 masks, integer
+        # weights <= 100) is exactly representable in bf16, so the MXU's
+        # bf16-pass f32 matmul computes exact products with f32
+        # accumulation -- bit-identical counts, and the VPU drops the
+        # (C+F)*width cast ops per row that dominated the kernel
+        a_t = jnp.where(cb == iota_c, w_row, 0.0)
+        f_t = (fb == iota_f).astype(F32)
+        parts.append(jax.lax.dot_general(
             a_t, f_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32)
-        acc = acc + part.astype(I32)
+            preferred_element_type=F32))
+        if len(parts) == grp or r == rows - 1:
+            acc = acc + _tree_sum(parts).astype(I32)
+            parts = []
     out_ref[:] += acc
 
 
@@ -141,6 +168,83 @@ def noise_hist_fused(sdev_cov: jnp.ndarray, n_bins: int = 2048,
             flops=2 * sdev_cov.size * C * F,
             bytes_accessed=sdev_cov.size * 4, transcendentals=0),
     )(sdev_cov).reshape(-1)[:n_bins]
+
+
+def _noise_multi_kernel(v_ref, hist_ref, mb_ref, *, C, F, n_bins, tile,
+                        max_noise, last_k):
+    """One (image, row-block) grid step of the multi-level kernel: noise
+    histogram accumulation (identical math to ``_noise_kernel``) plus the
+    first-max argmax (shaders/img_histogram_max.comp:17-31) computed
+    in-kernel on the final row-block of each image."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        hist_ref[:] = jnp.zeros_like(hist_ref)
+
+    v = v_ref[0]
+    adjusted = v / F32(max_noise)
+    bins = (adjusted * F32(n_bins) + F32(0.5)).astype(I32)
+    brk = ((v == 0.0) | (adjusted > 1.0) | (bins == 0)).astype(I32)
+    dead = _prefix_or_in_group(brk, tile)
+    w = ((1 - dead) * (bins < n_bins)).astype(F32)
+    bins = jnp.clip(bins, 0, n_bins - 1)
+    _accumulate_fact(bins, w, hist_ref, C, F)
+
+    @pl.when(k == last_k)
+    def _():
+        h = hist_ref[0]
+        # bin b lives at (b // F, b % F): flat row-major index == bin index.
+        # Strict > keeps the FIRST maximum == the min flat index attaining
+        # the max; an all-zero histogram yields bin 0 (both as jnp.argmax).
+        flat = (jax.lax.broadcasted_iota(I32, (C, F), 0) * F
+                + jax.lax.broadcasted_iota(I32, (C, F), 1))
+        mb_ref[pl.program_id(0), 0] = jnp.min(
+            jnp.where(h == jnp.max(h), flat, n_bins))
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "tile", "max_noise",
+                                             "rows", "interpret"))
+def noise_hist_argmax_multi(stacked: jnp.ndarray, n_bins: int = 2048,
+                            tile: int = 16, max_noise: float = 0.1,
+                            rows: int = 128, interpret: bool = False):
+    """ALL analysis levels' noise histograms + argmaxes in ONE kernel.
+
+    ``stacked`` is [L, cov, cov]: each level's coverage view zero-padded to
+    the common cov (a multiple of ``tile``, so padded lanes form whole
+    16-lane groups whose leading zero kills the tile-column scan, and padded
+    rows are all-dead -- zero contribution, same as absent).  Returns
+    (hists [L, n_bins] int32, max_bins [L] int32).  Replaces L separate
+    hist kernels + L argmax dispatches (launch-overhead bound: 0.77 ms ->
+    one kernel, scripts/exp_analysis.py).
+    """
+    L, covr, cov = stacked.shape
+    assert covr % rows == 0 and cov % tile == 0
+    C, F, padded = _factor(n_bins)
+    assert padded == n_bins, "flat-index argmax needs an exact factorization"
+    kb = covr // rows
+    hists, mbs = pl.pallas_call(
+        functools.partial(_noise_multi_kernel, C=C, F=F, n_bins=n_bins,
+                          tile=tile, max_noise=max_noise, last_k=kb - 1),
+        grid=(L, kb),
+        in_specs=[pl.BlockSpec((1, rows, cov), lambda i, k: (i, k, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, C, F), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole-array SMEM block (Mosaic requires block == array dims
+            # for sub-(8,128) shapes); written at each image's last step
+            pl.BlockSpec((L, 1), lambda i, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((L, C, F), I32),
+                   jax.ShapeDtypeStruct((L, 1), I32)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * stacked.size * C * F,
+            bytes_accessed=stacked.size * 4, transcendentals=0),
+    )(stacked)
+    return hists.reshape(L, C * F)[:, :n_bins], mbs[:, 0]
 
 
 # ----------------------------------------------------------------------

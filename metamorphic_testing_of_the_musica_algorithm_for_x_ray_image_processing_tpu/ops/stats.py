@@ -194,6 +194,52 @@ def sdev_and_noise_histogram(band: jnp.ndarray, cfg: MusicaConfig,
     return sd, noise_histogram(sd, cfg, method)
 
 
+def analysis_noise_hists(sdevs, cfg: MusicaConfig, method: str = "auto"):
+    """Noise histogram + argmax for EVERY analysis level at once.
+
+    Returns ``(hists, max_bins)`` dicts keyed by level.  On TPU (and when
+    every level's coverage view fits the common-cov layout) this runs ONE
+    ``noise_hist_argmax_multi`` kernel over the stacked views instead of
+    one hist kernel + one argmax per level -- the per-level dispatches are
+    launch-overhead bound (~0.77 ms for 4 levels vs ~0.15 ms fused at 3072,
+    scripts/exp_analysis.py).  Counts and argmaxes are bit-identical to the
+    per-level path (zero-padded lanes/rows form all-dead tile columns).
+    """
+    levels = list(cfg.analysis_levels)
+    if method == "auto":
+        method = "multi" if jax.default_backend() == "tpu" else "fact"
+    if method in ("multi", "multi_interpret"):
+        views = {i: coverage_view(sdevs[i], cfg) for i in levels}
+        covs = [v.shape[-1] for v in views.values() if v is not None]
+        live = [i for i in levels if views[i] is not None]
+        tile = cfg.histogram_area_size
+        if covs and max(covs) <= 512 and all(c % tile == 0 for c in covs):
+            cov = max(covs)
+            rows = next((r for r in (128, 64, 32, 16) if cov % r == 0), None)
+            if rows is not None:
+                from .pallas import fused_hist
+                stacked = jnp.stack([
+                    jnp.pad(views[i], ((0, cov - views[i].shape[-2]),
+                                       (0, cov - views[i].shape[-1])))
+                    for i in live])
+                hs, mbs = fused_hist.noise_hist_argmax_multi(
+                    stacked, cfg.noise_histogram_bins, tile,
+                    cfg.max_noise_value, rows=rows,
+                    interpret=(method == "multi_interpret"))
+                hists = {i: hs[j] for j, i in enumerate(live)}
+                maxb = {i: mbs[j] for j, i in enumerate(live)}
+                for i in levels:
+                    if i not in hists:
+                        hists[i] = jnp.zeros((cfg.noise_histogram_bins,),
+                                             jnp.int32)
+                        maxb[i] = jnp.zeros((), jnp.int32)
+                return hists, maxb
+        method = "fused" if method == "multi" else "fused_interpret"
+    hists = {i: noise_histogram(sdevs[i], cfg, method) for i in levels}
+    maxb = {i: histogram_max(hists[i])[1] for i in levels}
+    return hists, maxb
+
+
 def histogram_max(hist: jnp.ndarray):
     """(max_value, max_bin); strict > keeps the first maximum, and an
     all-zero histogram yields bin 0 (shaders/img_histogram_max.comp:17-31).

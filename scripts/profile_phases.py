@@ -70,12 +70,8 @@ def p_reduce(nrm, cfg=cfg):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def p_analysis(bandpass, cfg=cfg):
-    sdevs, max_bins = {}, {}
-    for i in cfg.analysis_levels:
-        sd = stats.img_sdev(bandpass[i])
-        sdevs[i] = sd
-        _, max_bins[i] = stats.histogram_max(
-            stats.noise_histogram(sd, cfg, "auto"))
+    sdevs = {i: stats.img_sdev(bandpass[i]) for i in cfg.analysis_levels}
+    _, max_bins = stats.analysis_noise_hists(sdevs, cfg, "auto")
     return sdevs, max_bins
 
 

@@ -156,3 +156,60 @@ def test_fused_relevance_grad_hist_matches_two_step():
     b = np.asarray(gradation.gradation_histogram(jnp.asarray(recon), rel, cfg,
                                                  "fact"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_multi_level_hist_argmax_matches_per_level():
+    """The monolithic all-levels kernel (stacked zero-padded coverage views,
+    in-kernel argmax) must reproduce the per-level fused path bit-exactly:
+    identical counts for every level and identical FIRST-max argmaxes --
+    including a ragged set of view sizes (1024-image levels pad 256/128 up
+    to the 512 common cov) and an all-zero level (hist all zero -> bin 0)."""
+    rng = np.random.default_rng(77)
+    cfg = MusicaConfig(image_size=1024)  # analysis levels 0..3: 1024/512/256/128
+    sdevs = {}
+    for j, i in enumerate(cfg.analysis_levels):
+        n = 1024 >> i
+        sd = rng.uniform(0, 0.12, (n, n)).astype(np.float32)
+        sd[rng.uniform(size=(n, n)) < 0.08] = 0.0
+        if i == 3:
+            sd[:] = 0.0  # empty level: argmax must be bin 0
+        sdevs[i] = jnp.asarray(_snap_noise_bins(sd, cfg))
+    hists, maxb = stats.analysis_noise_hists(sdevs, cfg, "multi_interpret")
+    for i in cfg.analysis_levels:
+        ref = np.asarray(stats.noise_histogram(sdevs[i], cfg, "fact"))
+        np.testing.assert_array_equal(np.asarray(hists[i]), ref, err_msg=f"level {i}")
+        assert int(maxb[i]) == int(np.argmax(ref)), f"level {i} argmax"
+    assert int(maxb[3]) == 0
+
+
+def test_multi_level_argmax_first_max_tie():
+    """Duplicate maximum counts: the in-kernel argmax must keep the FIRST
+    bin (img_histogram_max.comp uses strict >), same as jnp.argmax."""
+    cfg = MusicaConfig(image_size=256)
+    # two discrete sdev values mapping to two different bins, equal counts
+    v1, v2 = np.float32(0.0301), np.float32(0.0703)
+    sd0 = np.zeros((256, 256), np.float32)
+    sd0[0, :16] = v1   # one full tile-column group each, no breaks
+    sd0[0, 16:32] = v2
+    sdevs = {i: jnp.asarray(np.zeros((256 >> i, 256 >> i), np.float32))
+             for i in cfg.analysis_levels}
+    sdevs[0] = jnp.asarray(sd0)
+    hists, maxb = stats.analysis_noise_hists(sdevs, cfg, "multi_interpret")
+    h0 = np.asarray(hists[0])
+    top = np.flatnonzero(h0 == h0.max())
+    assert len(top) >= 2  # a genuine tie
+    assert int(maxb[0]) == int(np.argmax(h0))
+
+
+def test_pipeline_multi_hist_matches_fact():
+    """musica_forward with the monolithic analysis path produces the exact
+    output of the per-level fact path (end-to-end wiring check)."""
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.models import musica
+    rng = np.random.default_rng(78)
+    img = (rng.uniform(0, 40000, (128, 128))).astype(np.uint16)
+    cfg = MusicaConfig(image_size=128)
+    a = np.asarray(musica.musica_forward(jnp.asarray(img), cfg,
+                                         "multi_interpret")["out_u8"])
+    b = np.asarray(musica.musica_forward(jnp.asarray(img), cfg,
+                                         "fact")["out_u8"])
+    np.testing.assert_array_equal(a, b)
