@@ -35,10 +35,25 @@ def _add_common(p):
                    help="force a JAX platform (cpu/tpu)")
 
 
+def _force_platform(platform: str) -> None:
+    """Force the JAX backend for this process.
+
+    Must go through ``jax.config`` — this environment initializes jax at
+    interpreter startup (sitecustomize), after which setting the
+    ``JAX_PLATFORMS`` env var is silently ignored and the run would fall
+    through to the preset axon TPU tunnel.
+    """
+    import os
+
+    os.environ["JAX_PLATFORMS"] = platform  # for any spawned workers
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
 def cmd_process(args) -> int:
     if args.platform:
-        import os
-        os.environ["JAX_PLATFORMS"] = args.platform
+        _force_platform(args.platform)
     import numpy as np
     import jax.numpy as jnp
     from .config import MusicaConfig
@@ -158,8 +173,7 @@ def cmd_report(args) -> int:
 
 def cmd_campaign(args) -> int:
     if args.platform:
-        import os
-        os.environ["JAX_PLATFORMS"] = args.platform
+        _force_platform(args.platform)
     from .testing.campaign import run_campaign
     run_campaign(out_dir=args.out_dir, image_size=args.size,
                  anatomies=args.anatomies.split(",") if args.anatomies else None,

@@ -35,6 +35,19 @@ def cache_dir() -> Optional[Path]:
     return Path(env) if env else Path.home() / ".cache" / "musica_tpu_aot"
 
 
+def _source_digest() -> str:
+    """Digest of this package's .py sources, so a cached executable compiled
+    from older code is invalidated when the pipeline implementation changes
+    (the compiled output is bit-identical across optimizations, but serving a
+    stale executable would silently discard their performance)."""
+    pkg_root = Path(__file__).resolve().parent.parent
+    h = hashlib.sha256()
+    for p in sorted(pkg_root.rglob("*.py")):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
 def _cache_key(key_parts: Sequence, example_args: tuple) -> str:
     import jax
 
@@ -47,6 +60,7 @@ def _cache_key(key_parts: Sequence, example_args: tuple) -> str:
         getattr(client, "platform_version", "?"),
         getattr(dev, "device_kind", "?"),
         str(len(jax.devices())),
+        _source_digest(),
     ]
     for p in key_parts:
         parts.append(repr(p))
