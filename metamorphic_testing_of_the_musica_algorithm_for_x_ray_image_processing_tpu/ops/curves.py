@@ -117,26 +117,34 @@ def curve_get_y_sorted(px: jnp.ndarray, py: jnp.ndarray,
     Evaluated as a LAST-TRUE-WINS select chain over ``lt[i] = px[i] < x``:
     px non-decreasing makes lt monotone non-increasing in i, so the unique
     matching interval ``lt[i] & ~lt[i+1]`` is simply the LAST i with lt[i]
-    true -- each interval needs 1 compare + 1 select instead of 2 compares
-    + an AND + a select (~193 -> ~130 VPU ops/pixel for the 33-point
-    contrast curve).  Zero-width duplicate intervals at segment joins can
-    never be the last true index (lt[j] == lt[j+1] there), matching the
+    true.  Zero-width duplicate intervals at segment joins can never be the
+    last true index (lt[j] == lt[j+1] there), matching the
     disjoint-interval formulation; x beyond px[-1] falls to 0.0 via the
-    final lt[n-1] select; the per-interval lerp arithmetic is unchanged, so
-    the selected value is bit-identical.
+    final lt[n-1] select.
+
+    The chain selects the matching interval's SCALARS (slope m, px, py) --
+    3 selects + 1 compare per interval -- and evaluates ONE lerp on the
+    selected triple, instead of evaluating every interval's lerp and
+    selecting values (1 compare + sub/mul/add + select per interval):
+    ~130 -> ~110 VPU ops/pixel for the 33-point contrast curve.  The
+    selected scalars and the final lerp arithmetic are exactly those the
+    per-interval evaluation would use, so the result is bit-identical
+    (zero-width intervals produce inf/nan slopes but are never selected,
+    exactly as their lerp values were computed and never selected before).
     """
     x = x.astype(F32)
     n = px.shape[0]
     lt = [px[i] < x for i in range(n)]
+    ms = (py[1:] - py[:-1]) / (px[1:] - px[:-1])
 
-    def val(i):
-        m = (py[i + 1] - py[i]) / (px[i + 1] - px[i])
-        return m * (x - px[i]) + py[i]
-
-    result = jnp.where(lt[0], val(0),
-                       jnp.where(x == px[0], py[0], F32(0.0)))
+    m_s, px_s, py_s = ms[0], px[0], py[0]
     for i in range(1, n - 1):
-        result = jnp.where(lt[i], val(i), result)
+        m_s = jnp.where(lt[i], ms[i], m_s)
+        px_s = jnp.where(lt[i], px[i], px_s)
+        py_s = jnp.where(lt[i], py[i], py_s)
+    result = m_s * (x - px_s) + py_s
+    result = jnp.where(lt[0], result,
+                       jnp.where(x == px[0], py[0], F32(0.0)))
     return jnp.where(lt[n - 1], F32(0.0), result)
 
 

@@ -97,30 +97,34 @@ def _accumulate_fact(bins, w, out_ref, C: int, F: int):
     Mosaic: "offset mismatch on non-concat dimension".)
     """
     rows, width = bins.shape
-    iota_c = jax.lax.broadcasted_iota(I32, (C, 1), 0)
-    iota_f = jax.lax.broadcasted_iota(I32, (F, 1), 0)
-    # group * width * max_weight(100) < 2^24 keeps every f32 partial exact
+    # Rank-3 batched formulation: ALL rows' one-hots built as single
+    # [rows, C|F, width] tensors and contracted in one batched dot (batch =
+    # rows, contraction = width) -- fewer, larger Mosaic ops than the
+    # per-row loop (measured 0.451 -> 0.426 ms on the 3072 noise hist,
+    # scripts/exp_hist3.py), identical math per row so counts stay
+    # bit-identical.
+    iota_c = jax.lax.broadcasted_iota(I32, (rows, C, 1), 1)
+    iota_f = jax.lax.broadcasted_iota(I32, (rows, F, 1), 1)
+    cb = (bins // F).reshape(rows, 1, width)
+    fb = (bins % F).reshape(rows, 1, width)
+    wr = w.reshape(rows, 1, width)
+    # f32 one-hots, NO bf16 casts: every value (0/1 masks, integer
+    # weights <= 100) is exactly representable in bf16, so the MXU's
+    # bf16-pass f32 matmul computes exact products with f32
+    # accumulation -- bit-identical counts, and the VPU drops the
+    # (C+F)*width cast ops per row that dominated the kernel
+    a_t = jnp.where(cb == iota_c, wr, 0.0)
+    f_t = (fb == iota_f).astype(F32)
+    parts = jax.lax.dot_general(
+        a_t, f_t, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=F32)
+    # group * width * max_weight(100) < 2^24 keeps every f32 partial exact;
+    # int32 accumulation across groups (the GLSL histogram is uint32)
     grp = max(1, (1 << 24) // (width * 100 + 1))
     acc = jnp.zeros(out_ref.shape, I32)
-    parts = []
-    for r in range(rows):
-        b_row = bins[r:r + 1, :]
-        w_row = w[r:r + 1, :]
-        cb = b_row // F
-        fb = b_row % F
-        # f32 one-hots, NO bf16 casts: every value (0/1 masks, integer
-        # weights <= 100) is exactly representable in bf16, so the MXU's
-        # bf16-pass f32 matmul computes exact products with f32
-        # accumulation -- bit-identical counts, and the VPU drops the
-        # (C+F)*width cast ops per row that dominated the kernel
-        a_t = jnp.where(cb == iota_c, w_row, 0.0)
-        f_t = (fb == iota_f).astype(F32)
-        parts.append(jax.lax.dot_general(
-            a_t, f_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=F32))
-        if len(parts) == grp or r == rows - 1:
-            acc = acc + _tree_sum(parts).astype(I32)
-            parts = []
+    for s in range(0, rows, grp):
+        acc = acc + _tree_sum(
+            [parts[r] for r in range(s, min(s + grp, rows))]).astype(I32)
     out_ref[:] += acc
 
 
@@ -386,12 +390,21 @@ def _grad_kernel(v_ref, r_ref, out_ref, *, C, F, n_bins, tile):
     _accumulate_fact(bins, w, out_ref, C, F)
 
 
-def _grad_relevant_kernel(v_ref, norm_ref, cnr_ref, out_ref, *,
-                          C, F, n_bins, tile, n_img, cnr_scale,
-                          border, cnr_low, cnr_top, cnr_max, k_pow, max_pixel):
+def _grad_relevant_kernel(v_ref, norm_ref, wplane_ref, out_ref, *,
+                          C, F, n_bins, tile, n_img, border, max_pixel):
     """grad_hist with the relevance mask computed in-kernel
     (shaders/img_relevant.comp:27-63 fused into gradation_histogram.comp):
-    saves materializing the full-res relevance image in HBM."""
+    saves materializing the full-res relevance image in HBM.
+
+    Everything derived from the CNR map alone (the ramp/solid range tests,
+    the (cnr/top)^k ramp weight and its uint truncation) is block-constant
+    over the nearest-upsample scale, so the caller precomputes ONE small
+    weight plane: >= 0 -> the final integer weight (ramp blocks carry
+    trunc(ramp_val*100), dead blocks 0), -1 -> solid block whose weight is
+    the per-pixel intensity test (100 if norm <= max_pixel else 0).  Only
+    the border and intensity tests remain per-pixel -- the in-kernel
+    division/pow/casts of the original formulation measured ~0.2 ms at
+    3072 (scripts/exp_ops.py: fused 0.710 vs 0.498 + separate relevance)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -400,33 +413,28 @@ def _grad_relevant_kernel(v_ref, norm_ref, cnr_ref, out_ref, *,
     norm = norm_ref[:]
     rows, cov = v.shape
 
-    # ---- relevance (nearest-upsampled CNR + intensity + border tests) ----
+    # ---- relevance weight (precomputed plane + per-pixel tests) ----
     row0 = pl.program_id(0) * rows
     r_idx = row0 + jax.lax.broadcasted_iota(I32, (rows, cov), 0)
     c_idx = jax.lax.broadcasted_iota(I32, (rows, cov), 1)
-    # cnr_ref delivers this block's 8 pre-expanded CNR rows (lane-expanded and
-    # row-expanded on the host so the BlockSpec stays 8-aligned; an MXU
-    # one-hot select is NOT bit-exact on v5e -- f32 matmul goes through bf16
-    # passes).  Expand 8 -> rows in-kernel with exact sublane broadcasts.
-    blk = cnr_ref[:]
+    # wplane_ref delivers this block's 8 pre-expanded plane rows
+    # (lane-expanded and row-expanded on the host so the BlockSpec stays
+    # 8-aligned).  Expand 8 -> rows in-kernel with exact sublane broadcasts.
+    blk = wplane_ref[:]
     reps = rows // blk.shape[0]
-    cnr_up = jnp.concatenate(
+    wp = jnp.concatenate(
         [jnp.broadcast_to(blk[j:j + 1, :], (reps, cov))
-         for j in range(blk.shape[0])], axis=0) * F32(cnr_max)
+         for j in range(blk.shape[0])], axis=0)
     inb = ((r_idx > border) & (r_idx < n_img - border)
            & (c_idx > border) & (c_idx < n_img - border))
-    ramp = (cnr_up >= cnr_low) & (cnr_up <= cnr_top) & inb
-    solid = ((cnr_up >= cnr_top) & (cnr_up <= cnr_max)
-             & (norm <= max_pixel) & inb)
-    from ..noise import _pow_maybe_int
-    ramp_val = _pow_maybe_int(cnr_up / F32(cnr_top), k_pow)
-    rel = jnp.where(ramp, ramp_val, jnp.where(solid, F32(1.0), F32(0.0)))
+    wgt = jnp.where(wp >= 0.0, wp,
+                    jnp.where(norm <= max_pixel, F32(100.0), F32(0.0)))
+    wgt = jnp.where(inb, wgt, 0.0)
 
     # ---- gradation histogram semantics (as _grad_kernel) ----
     alive = _tile_alive(v, tile)
 
     bins = (v * F32(n_bins)).astype(I32)
-    wgt = (rel * F32(100.0)).astype(I32).astype(F32)
     w = jnp.where((bins >= 0) & (bins < n_bins), wgt * alive.astype(F32), 0.0)
     bins = jnp.clip(bins, 0, n_bins - 1)
     _accumulate_fact(bins, w, out_ref, C, F)
@@ -448,17 +456,28 @@ def grad_hist_relevant_fused(recon_cov: jnp.ndarray, normalized_cov: jnp.ndarray
     assert recon_cov.shape[-2] % tile == 0
     rblk = next((r for r in (6 * tile, 3 * tile, 2 * tile, tile)
                  if recon_cov.shape[-2] % r == 0), tile)
-    # pre-expand CNR along lanes, and along rows so its per-step block stays
+    # ---- block-constant relevance weight plane on the SMALL CNR map ----
+    # Identical arithmetic to the reference's per-pixel evaluation
+    # (img_relevant.comp:27-63 + the uint(rel*100) truncation of
+    # gradation_histogram.comp): nearest upsampling is an exact copy, so
+    # computing on the small map then expanding is bit-identical.
+    from ..noise import _pow_maybe_int
+    c = cnr * jnp.float32(cnr_max)
+    ramp = (c >= cnr_low) & (c <= cnr_top)
+    solid = (c >= cnr_top) & (c <= cnr_max) & ~ramp  # ramp wins at c == top
+    w_ramp = (_pow_maybe_int(c / jnp.float32(cnr_top), k_pow)
+              * jnp.float32(100.0)).astype(jnp.int32).astype(F32)
+    wplane = jnp.where(solid, F32(-1.0), jnp.where(ramp, w_ramp, F32(0.0)))
+    # pre-expand along lanes, and along rows so its per-step block stays
     # 8-aligned (an MXU one-hot select is not bit-exact on v5e; callers
     # guarantee tile % scale == 0)
-    cnr = jnp.repeat(cnr, cnr_scale, axis=-1)[..., :cov]
+    wplane = jnp.repeat(wplane, cnr_scale, axis=-1)[..., :cov]
     pre = max((8 * cnr_scale) // tile, 1)
-    cnr = jnp.repeat(cnr, pre, axis=-2)
+    wplane = jnp.repeat(wplane, pre, axis=-2)
     blk_rows = rblk * pre // cnr_scale
     kern = functools.partial(
         _grad_relevant_kernel, C=C, F=F, n_bins=n_bins, tile=tile,
-        n_img=n_img, cnr_scale=cnr_scale, border=border, cnr_low=cnr_low,
-        cnr_top=cnr_top, cnr_max=cnr_max, k_pow=k_pow, max_pixel=max_pixel)
+        n_img=n_img, border=border, max_pixel=max_pixel)
     return pl.pallas_call(
         kern,
         grid=(recon_cov.shape[-2] // rblk,),
@@ -477,7 +496,7 @@ def grad_hist_relevant_fused(recon_cov: jnp.ndarray, normalized_cov: jnp.ndarray
         cost_estimate=pl.CostEstimate(
             flops=2 * recon_cov.size * C * F,
             bytes_accessed=recon_cov.size * 8, transcendentals=recon_cov.size),
-    )(recon_cov, normalized_cov, cnr).reshape(-1)[:n_bins]
+    )(recon_cov, normalized_cov, wplane).reshape(-1)[:n_bins]
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "tile", "interpret"))
