@@ -132,10 +132,10 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             grad_input, normalized, cnr, cfg, hist_method)
     gpx, gpy, tvals = gradation.gradation_curve(ghist, cfg)
 
-    # Tone map crop-FIRST (elementwise, so cropping commutes bit-exactly) and
-    # fuse the u8 quantization into the adaptive getY's lax.cond branches:
-    # measured 0.81 -> 0.39 ms at 3072^2 on v5e (the full-res `graded`
-    # intermediate otherwise materializes in HBM on both sides of the cond).
+    # Tone map crop-FIRST (elementwise, so cropping commutes bit-exactly)
+    # with the u8 quantization fused into the branchless general getY chain
+    # (one elementwise pass, no runtime lax.cond -- the cond alone cost a
+    # flat ~0.3 ms at 3072^2 on v5e; scripts/exp_fusion3.py, ops/curves.py).
     m = cfg.out_margin
     out_u8 = curves.curve_apply_u8_adaptive(
         gpx, gpy, grad_input[..., m:-m, m:-m])

@@ -148,45 +148,77 @@ def curve_get_y_sorted(px: jnp.ndarray, py: jnp.ndarray,
     return jnp.where(lt[n - 1], F32(0.0), result)
 
 
+def curve_get_y_general(px: jnp.ndarray, py: jnp.ndarray,
+                        x: jnp.ndarray) -> jnp.ndarray:
+    """First-match getY for ARBITRARY px (shaders/contrast_curve_apply.comp
+    :27-36 semantics), branchless, as a DESCENDING scalar-select chain.
+
+    Bit-identical to ``curve_get_y`` for every px shape (verified over 400
+    adversarial curves -- fold-backs, duplicate points, exact boundary hits;
+    tests/test_ops_golden.py::test_curve_get_y_general_equivalence):
+
+    * Descending overwrite keeps the SMALLEST matching interval = the GLSL
+      scan's first match (for sorted px the match is unique, so this also
+      equals ``curve_get_y_sorted``).
+    * A non-increasing pair px[i+1] <= px[i] -- where the GLSL interval test
+      ``px[i] <= x <= px[i+1]`` can never fire but its exact test can --
+      becomes a ZERO-WIDTH interval at px[i] via the precomputed scalar
+      upper bound ``px_hi[i] = px[i]``.
+    * Slope sanitization (m := 0 on non-increasing pairs) makes the GLSL
+      exact-match branch's value fall out of the same lerp: at x == px[i],
+      ``m * (x - px[i]) + py[i] == py[i]`` exactly for any finite m, and on
+      ascending pairs the exact hit is subsumed by the interval hit.
+    * No match -> the (0, 0, 0) triple evaluates to exactly +0.0.
+
+    6 VPU ops per interval (2 compares + AND + 3 selects) with one final
+    lerp -- and NO runtime ``lax.cond``: the adaptive cond this replaces
+    cost a flat ~0.3 ms at 3072^2 on v5e regardless of which branch ran
+    (scripts/exp_fusion.py / exp_fusion3.py).
+    """
+    n = px.shape[0]
+    px_e = jnp.concatenate([px, jnp.zeros((1,), F32)])
+    py_e = jnp.concatenate([py, jnp.zeros((1,), F32)])
+    x = x.astype(F32)
+    ms = (py_e[1:] - py_e[:-1]) / (px_e[1:] - px_e[:-1])
+    nonmono = px_e[1:] <= px_e[:-1]
+    m_safe = jnp.where(nonmono, F32(0.0), ms)
+    px_hi = jnp.where(nonmono, px_e[:-1], px_e[1:])
+
+    sm = jnp.zeros_like(x)
+    spx = jnp.zeros_like(x)
+    spy = jnp.zeros_like(x)
+    for i in range(n - 1, -1, -1):
+        hit = (px_e[i] <= x) & (x <= px_hi[i])
+        sm = jnp.where(hit, m_safe[i], sm)
+        spx = jnp.where(hit, px_e[i], spx)
+        spy = jnp.where(hit, py_e[i], spy)
+    return sm * (x - spx) + spy
+
+
 def curve_get_y_adaptive(px: jnp.ndarray, py: jnp.ndarray,
                          x: jnp.ndarray) -> jnp.ndarray:
-    """curve_get_y that switches to the cheaper sorted-interval evaluation
-    when px is non-decreasing at runtime (lax.cond executes one branch).
+    """Faithful getY for runtime-shaped curves (the gradation curve's second
+    bezier segment can overshoot t1 when ts > t1, making px non-monotone).
 
-    The gradation curve is usually monotone; its second bezier segment can
-    overshoot t1 when ts > t1, in which case only the first-match chain is
-    faithful.
+    Now an alias of the branchless ``curve_get_y_general`` chain.  The
+    previous formulation dispatched between the sorted and first-match
+    chains with a runtime ``lax.cond``; on v5e the cond itself cost a flat
+    ~0.3 ms at 3072^2 (not the branches, and not the operand copy --
+    scripts/exp_fusion.py, exp_fusion2.py), so the branchless chain wins
+    ~0.2 ms while staying bit-identical for every curve shape.
     """
-    import jax
-    monotone = jnp.all(px[1:] >= px[:-1])
-    return jax.lax.cond(
-        monotone,
-        lambda args: curve_get_y_sorted(*args),
-        lambda args: curve_get_y(*args),
-        (px, py, x))
+    return curve_get_y_general(px, py, x)
 
 
 def curve_apply_u8_adaptive(px: jnp.ndarray, py: jnp.ndarray,
                             x: jnp.ndarray) -> jnp.ndarray:
-    """``clip(trunc(255 * curve_get_y_adaptive(px, py, x)))`` as uint8, with
-    the quantization fused INTO each lax.cond branch.
-
-    Bit-identical to quantizing outside the cond, but XLA then fuses the
-    whole tone map + quantize into one elementwise pass per branch instead
-    of materializing the full-res f32 graded image across the cond boundary
-    (0.81 -> 0.39 ms at 3072^2 on v5e, scripts/profile_phases.py).
-    """
-    import jax
-
-    def quant(g):
-        return jnp.clip(jnp.trunc(F32(255.0) * g), 0.0, 255.0).astype(jnp.uint8)
-
-    monotone = jnp.all(px[1:] >= px[:-1])
-    return jax.lax.cond(
-        monotone,
-        lambda args: quant(curve_get_y_sorted(*args)),
-        lambda args: quant(curve_get_y(*args)),
-        (px, py, x))
+    """``clip(trunc(255 * getY(px, py, x)))`` as uint8 in one fused
+    elementwise pass (the crop-first tone map + quantization), using the
+    branchless general chain -- bit-identical to quantizing either
+    lax.cond branch of the old adaptive dispatch (checksum-verified at
+    pipeline level on v5e, scripts/exp_fusion3.py)."""
+    g = curve_get_y_general(px, py, x)
+    return jnp.clip(jnp.trunc(F32(255.0) * g), 0.0, 255.0).astype(jnp.uint8)
 
 
 def contrast_curve_apply(bandpass: jnp.ndarray, sdev: jnp.ndarray,

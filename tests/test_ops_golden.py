@@ -371,3 +371,33 @@ def test_curve_get_y_adaptive_monotone(rng):
     b = np.asarray(curves.curve_get_y_adaptive(px, py, xs))
     # sorted-interval picks the identical segment; allow FMA-contraction ulps
     np.testing.assert_allclose(a, b, rtol=0, atol=3e-7)
+
+
+def test_curve_get_y_general_equivalence(rng):
+    """The branchless general chain must match the first-match scan
+    BIT-exactly for arbitrary px shapes: sorted, fold-back tails (the
+    gradation ts > t1 overshoot family), duplicate points, exact boundary
+    hits and 1-ulp neighbors, and out-of-range x."""
+    for trial in range(120):
+        n = int(rng.integers(2, 34))
+        pxs = np.sort(rng.uniform(0, 1, n)).astype(np.float32)
+        if trial % 3 == 1 and n > 4:  # fold-back tail, re-rise to 1.0
+            k = int(rng.integers(1, n - 1))
+            pxs[k:] = (pxs[k] - np.abs(pxs[k:] - pxs[k]) * 0.5
+                       ).astype(np.float32)
+            pxs[-1] = 1.0
+        if trial % 5 == 2 and n > 3:  # zero-width duplicate interval
+            pxs[n // 2] = pxs[n // 2 - 1]
+        if trial % 7 == 3:
+            pxs[0] = 0.0
+        pys = rng.uniform(0, 1, n).astype(np.float32)
+        xs = np.concatenate([
+            rng.uniform(-0.1, 1.1, 64).astype(np.float32), pxs,
+            np.nextafter(pxs, 2, dtype=np.float32),
+            np.nextafter(pxs, -1, dtype=np.float32),
+            np.array([0.0, 1.0, pxs[-1]], np.float32)]).astype(np.float32)
+        a = np.asarray(curves.curve_get_y(jnp.asarray(pxs), jnp.asarray(pys),
+                                          jnp.asarray(xs)))
+        b = np.asarray(curves.curve_get_y_general(
+            jnp.asarray(pxs), jnp.asarray(pys), jnp.asarray(xs)))
+        np.testing.assert_array_equal(a, b)
