@@ -181,7 +181,8 @@ def cmd_campaign(args) -> int:
                  seed=args.seed,
                  save_images=args.save_images,
                  quirks=not args.no_quirks,
-                 transpose=not args.no_transpose)
+                 transpose=not args.no_transpose,
+                 aot_cache=args.aot_cache)
     return 0
 
 
@@ -261,6 +262,10 @@ def main(argv=None) -> int:
                         "case (script.py:417-421 save_image behavior)")
     p.add_argument("--seed", type=int, default=0,
                    help="RNG seed for the noise/collimator perturbations")
+    p.add_argument("--aot-cache", action="store_true",
+                   help="load/save the serialized pipeline executable "
+                        "(shared with `process --aot-cache`) to skip the "
+                        "cold-start compile in fresh campaign processes")
     p.set_defaults(fn=cmd_campaign)
 
     p = sub.add_parser("slope-analysis",

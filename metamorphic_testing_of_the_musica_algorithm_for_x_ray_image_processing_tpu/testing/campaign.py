@@ -80,19 +80,35 @@ def _measure_row(alt, unalt, ref, ovd):
 
 
 def default_runner(image_size: int, quirks: bool = True,
-                   transpose: bool = True) -> Callable:
+                   transpose: bool = True,
+                   aot_cache: bool = False) -> Callable:
     """In-process system under test: raw array (file layout) -> output u8.
 
     Applies the standalone CLI's transpose on load
     (test/standalone/main.cpp:67-75) so results match `cli process`;
     ``transpose=False`` mirrors `cli process --no-transpose`.
+
+    ``aot_cache=True`` loads/saves the serialized pipeline executable
+    (utils/aot_cache.py) under the SAME key as ``cli process --aot-cache``,
+    skipping the multi-minute remote compile that otherwise dominates a
+    fresh campaign process's cold start.
     """
     from ..models import musica
     import jax.numpy as jnp
     cfg = MusicaConfig(image_size=image_size, quirks=quirks)
 
+    fwd = None
+    if aot_cache:
+        from ..utils.aot_cache import cached_compile
+        example = jnp.zeros((image_size, image_size), jnp.uint16)
+        fwd = cached_compile(
+            lambda im: musica.musica_forward(im, cfg)["out_u8"],
+            key_parts=("process", cfg), example_args=(example,))
+
     def run(raw_u16: np.ndarray) -> np.ndarray:
         im = raw_u16.T if transpose else raw_u16
+        if fwd is not None:
+            return np.asarray(fwd(jnp.asarray(im)))
         return np.asarray(musica.process_jit(jnp.asarray(im), cfg))
 
     return run
@@ -129,7 +145,8 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
                  seed: int = 0,
                  save_images: bool = False,
                  quirks: bool = True,
-                 transpose: bool = True) -> dict:
+                 transpose: bool = True,
+                 aot_cache: bool = False) -> dict:
     """Run the full campaign; returns {csv_name: rows} and writes the CSVs.
 
     ``quirks``/``transpose`` configure the default in-process runner (they
@@ -139,7 +156,8 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
     t_start = time.time()
     anatomies = list(anatomies or ANATOMIES)
     runner = runner or default_runner(image_size, quirks=quirks,
-                                      transpose=transpose)
+                                      transpose=transpose,
+                                      aot_cache=aot_cache)
     rng = np.random.default_rng(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

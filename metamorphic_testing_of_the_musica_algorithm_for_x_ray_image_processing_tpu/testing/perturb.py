@@ -91,9 +91,14 @@ def clamp_translation(img: np.ndarray, x_shift: int = 0, y_shift: int = 0) -> np
 
 def clamp_rotate(img: np.ndarray, degree: float) -> np.ndarray:
     """Rotate with 95th-percentile fill after 100-px margin crop
-    (script.py:122-141); uses PIL for the interpolation, as the harness did."""
+    (script.py:122-141); uses PIL for the interpolation, as the harness did.
+
+    The reference's margin is a fixed 100 px (it only ever saw 3072² inputs);
+    on tiny campaign sizes that would empty the crop, so it is clamped to
+    keep at least a 2x2 interior — sizes >= 202 behave exactly as the
+    reference."""
     from PIL import Image
-    margin = 100
+    margin = min(100, (min(img.shape) - 2) // 2)
     cropped = img[margin:img.shape[0] - margin, margin:img.shape[1] - margin]
     fill = int(np.percentile(cropped, 95))
     pim = Image.fromarray(cropped)
