@@ -16,7 +16,7 @@ Methodology notes:
   by up to ~15% across processes (3.44-4.01 ms for one program;
   scripts/exp_variance.py -- within-process recompiles stay within 1%, so
   it is session state, not a compile lottery).  The benchmark therefore
-  samples up to 3 fresh tunnel sessions (subprocesses) and reports the
+  samples up to 4 fresh tunnel sessions (subprocesses) and reports the
   best; children reuse the AOT executable cache (utils/aot_cache.py) so
   only the first ever pays the multi-minute remote compile.
 """
@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 DEADLINE_S = float(os.environ.get("MUSICA_BENCH_DEADLINE", "540"))
-MAX_SAMPLES = int(os.environ.get("MUSICA_BENCH_SAMPLES", "3"))
+MAX_SAMPLES = int(os.environ.get("MUSICA_BENCH_SAMPLES", "4"))
 
 
 def measure() -> dict:

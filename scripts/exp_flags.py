@@ -30,12 +30,11 @@ cfg = MusicaConfig(image_size=SIZE)
 
 CONFIGS = {
     "base": {},
-    "vmem32": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
-    "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
-    "vmem128": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
-    "no_lhs": {"xla_tpu_enable_latency_hiding_scheduler": "false"},
-    "vmem64_nolhs": {"xla_tpu_scoped_vmem_limit_kib": "65536",
-                     "xla_tpu_enable_latency_hiding_scheduler": "false"},
+    "vmem8": {"xla_tpu_scoped_vmem_limit_kib": "8192"},
+    "vmem12": {"xla_tpu_scoped_vmem_limit_kib": "12288"},
+    "vmem24": {"xla_tpu_scoped_vmem_limit_kib": "24576"},
+    "exp_cost": {"xla_tpu_enable_experimental_fusion_cost_model": "true"},
+    "bundle_cost": {"xla_tpu_use_bundle_aware_cost_model": "true"},
 }
 
 
