@@ -131,9 +131,21 @@ def main():
                     break
                 except json.JSONDecodeError:
                     continue
-        except (subprocess.TimeoutExpired, OSError):
+        except subprocess.TimeoutExpired:
+            # likely a dead TPU tunnel (hangs indefinitely, no error) or a
+            # cold remote compile; a bounded retry below may still land
+            continue
+        except OSError:
+            # subprocess spawning itself is broken: measure in-process
+            # (unbounded, but the only remaining path)
+            results = [measure()]
             break
-    if not results:  # fall back to measuring in-process
+    if not results:
+        # No subprocess sample landed within the deadline (cold remote
+        # compile, or a flaky tunnel).  Measure in-process as a last
+        # resort: unbounded, but a late number beats none at all.
+        print("bench: no subprocess sample within deadline; "
+              "falling back to in-process measurement", file=sys.stderr)
         results = [measure()]
     best = max(results, key=lambda r: r["value"])
     print(json.dumps(best))
