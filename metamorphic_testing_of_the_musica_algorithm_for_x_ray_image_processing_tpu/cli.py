@@ -76,6 +76,20 @@ def cmd_process(args) -> int:
                       )(jnp.asarray(raw))
         uio.save_bmp8(args.cnr_out, np.clip(
             np.asarray(res) * 255.0, 0, 255).astype(np.uint8))
+    tracing = False
+    if args.profile:
+        # deep-profiling analogue of the reference's MSVC /PROFILE link flag
+        # (CMakeLists.txt:14-16): captures an XPlane trace (host + device
+        # timelines, XLA HLO annotations) viewable in TensorBoard/Perfetto.
+        # Degrades to a warning where the backend can't trace (e.g. some
+        # remote-relay configurations).
+        import jax
+        try:
+            jax.profiler.start_trace(args.profile)
+            tracing = True
+        except Exception as e:  # noqa: BLE001 - profiling must never break processing
+            print(f"profiler unavailable ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     t0 = time.perf_counter()
     if args.timing:
         # MEASURE_PROCESS analogue: per-phase fenced timing
@@ -104,6 +118,11 @@ def cmd_process(args) -> int:
     else:
         out = musica.process(raw, cfg)
     dt = time.perf_counter() - t0
+    if tracing:
+        import jax
+        out = np.asarray(out)  # fence so device activity lands in the trace
+        jax.profiler.stop_trace()
+        print(f"profile trace -> {args.profile}")
     uio.save_bmp8(args.output, out)
     mpix = args.size * args.size / 1e6
     print(f"processed {args.input} ({args.size}^2, {mpix:.1f} MPix) "
@@ -214,6 +233,10 @@ def main(argv=None) -> int:
                    help="directory for intermediate-image BMPs (debugProcess)")
     p.add_argument("--timing", action="store_true",
                    help="per-phase fenced timing (MEASURE_PROCESS analogue)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler XPlane trace of the run into "
+                        "DIR (TensorBoard/Perfetto-viewable; /PROFILE "
+                        "analogue)")
     p.add_argument("--save-last-raw", default=None,
                    help="re-save the loaded raw (saveLastRawImage analogue)")
     p.add_argument("--cnr-out", default=None,

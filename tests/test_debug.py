@@ -98,6 +98,26 @@ def test_cli_timing_and_variants(tmp_path, phantom_256):
     np.testing.assert_array_equal(back, phantom_256.T)  # CLI loads transposed
 
 
+def test_cli_process_profile_trace(tmp_path, phantom_256):
+    """--profile captures an XPlane trace dir (the /PROFILE analogue) while
+    producing the identical output image."""
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
+    raw = tmp_path / "in.raw"
+    uio.save_raw(raw, phantom_256)
+    out = tmp_path / "out.bmp"
+    ref = tmp_path / "ref.bmp"
+    prof = tmp_path / "prof"
+    rc = cli.main(["process", "--size", "256", str(raw), str(out),
+                   "--profile", str(prof)])
+    assert rc == 0
+    # the profiler writes plugins/profile/<ts>/*.xplane.pb under the dir
+    traces = list(prof.rglob("*.xplane.pb"))
+    assert traces, f"no xplane trace written under {prof}"
+    rc = cli.main(["process", "--size", "256", str(raw), str(ref)])
+    assert rc == 0
+    np.testing.assert_array_equal(uio.load_bmp(out), uio.load_bmp(ref))
+
+
 def test_linear_gradation_variant_changes_output(phantom_256):
     cfg_a = MusicaConfig(image_size=256)
     cfg_b = MusicaConfig(image_size=256, grad_with_linear_image=True)
