@@ -145,6 +145,18 @@ def cmd_batch(args) -> int:
     import os
     os.makedirs(args.out_dir, exist_ok=True)
     B = max(1, args.batch)
+
+    batch_fwd = None
+    if args.aot_cache:
+        # same serialized-executable cache as `process --aot-cache`, keyed
+        # additionally on the batch shape (utils/aot_cache.py)
+        import jax
+        from .utils.aot_cache import cached_compile
+        example = jnp.zeros((B, args.size, args.size), jnp.uint16)
+        batch_fwd = cached_compile(
+            lambda b: jax.lax.map(
+                lambda im: musica.musica_forward(im, cfg)["out_u8"], b),
+            key_parts=("batch", cfg), example_args=(example,), verbose=True)
     t0 = time.perf_counter()
 
     def save_chunk(chunk, outs_dev):
@@ -166,7 +178,9 @@ def cmd_batch(args) -> int:
             raws = np.concatenate(
                 [raws, np.zeros((B - len(chunk),) + raws.shape[1:],
                                 raws.dtype)])
-        outs_dev = musica.process_batch_jit(jnp.asarray(raws), cfg)
+        raws_dev = jnp.asarray(raws)
+        outs_dev = (batch_fwd(raws_dev) if batch_fwd is not None
+                    else musica.process_batch_jit(raws_dev, cfg))
         if pending is not None:
             save_chunk(*pending)
         pending = (chunk, outs_dev)
@@ -261,6 +275,10 @@ def main(argv=None) -> int:
                    help="images per device dispatch (lax.map chunk; the "
                         "last chunk is zero-padded to reuse one compiled "
                         "shape)")
+    p.add_argument("--aot-cache", action="store_true",
+                   help="load/save the serialized batch executable "
+                        "(utils/aot_cache.py) to skip the cold-start "
+                        "compile in fresh processes")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("report", help="HTML gallery of all pipeline stages "

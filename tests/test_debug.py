@@ -83,6 +83,32 @@ def test_cli_batch(tmp_path, phantom_256):
                                   uio.load_bmp(tmp_path / "single_0.bmp"))
 
 
+def test_cli_batch_aot_cache(tmp_path, monkeypatch, phantom_256, capsys):
+    """batch --aot-cache saves the serialized batch executable on the first
+    run, loads it on the second, and produces identical BMPs either way."""
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
+    monkeypatch.setenv("MUSICA_AOT_CACHE", str(tmp_path / "aot"))
+    uio.save_raw(tmp_path / "img_0.raw", phantom_256)
+
+    rc = cli.main(["batch", "--size", "256", "--batch", "2", "--aot-cache",
+                   str(tmp_path / "*.raw"), str(tmp_path / "o1")])
+    assert rc == 0
+    assert "aot-cache: saved" in capsys.readouterr().out
+    assert list((tmp_path / "aot").glob("*.bin"))
+
+    rc = cli.main(["batch", "--size", "256", "--batch", "2", "--aot-cache",
+                   str(tmp_path / "*.raw"), str(tmp_path / "o2")])
+    assert rc == 0
+    assert "aot-cache: loaded" in capsys.readouterr().out
+
+    rc = cli.main(["batch", "--size", "256", "--batch", "2",
+                   str(tmp_path / "*.raw"), str(tmp_path / "o3")])
+    assert rc == 0
+    a = uio.load_bmp(tmp_path / "o1" / "img_0.bmp")
+    np.testing.assert_array_equal(a, uio.load_bmp(tmp_path / "o2" / "img_0.bmp"))
+    np.testing.assert_array_equal(a, uio.load_bmp(tmp_path / "o3" / "img_0.bmp"))
+
+
 def test_cli_timing_and_variants(tmp_path, phantom_256):
     from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu import cli
     raw = tmp_path / "in.raw"
