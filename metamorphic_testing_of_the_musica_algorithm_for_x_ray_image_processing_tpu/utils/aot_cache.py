@@ -36,14 +36,27 @@ def cache_dir() -> Optional[Path]:
 
 
 def _source_digest() -> str:
-    """Digest of this package's .py sources, so a cached executable compiled
-    from older code is invalidated when the pipeline implementation changes
-    (the compiled output is bit-identical across optimizations, but serving a
-    stale executable would silently discard their performance)."""
+    """Digest of the sources the TRACED computation is closed over
+    (config.py + models/ + ops/ + parallel/), so a cached executable
+    compiled from older code is invalidated when the pipeline
+    implementation changes (the compiled output is bit-identical across
+    optimizations, but serving a stale executable would silently discard
+    their performance).
+
+    Host-side modules (cli, utils, testing) are deliberately excluded:
+    they never affect the lowered HLO, and including them would turn every
+    harness edit into a multi-minute remote recompile."""
     pkg_root = Path(__file__).resolve().parent.parent
+    return _digest_tree(pkg_root)
+
+
+def _digest_tree(pkg_root: Path) -> str:
+    paths = [pkg_root / "config.py"]
+    for sub in ("models", "ops", "parallel"):
+        paths.extend((pkg_root / sub).rglob("*.py"))
     h = hashlib.sha256()
-    for p in sorted(pkg_root.rglob("*.py")):
-        h.update(p.name.encode())
+    for p in sorted(paths):
+        h.update(str(p.relative_to(pkg_root)).encode())
         h.update(p.read_bytes())
     return h.hexdigest()[:16]
 

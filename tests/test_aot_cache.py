@@ -87,3 +87,30 @@ def test_pipeline_through_cache_matches_jit(cache_env, phantom_256):
         lambda im: musica.musica_forward(im, cfg)["out_u8"],
         key_parts=("process", cfg), example_args=(img,))
     np.testing.assert_array_equal(np.asarray(fwd2(img)), ref)
+
+
+def test_source_digest_scope(tmp_path):
+    """The digest tracks the TRACED sources (config.py, models/, ops/,
+    parallel/) and ignores host-side modules (cli/utils/testing), so harness
+    edits do not invalidate cached executables."""
+    pkg = tmp_path / "pkg"
+    for sub in ("models", "ops", "parallel", "utils", "testing"):
+        (pkg / sub).mkdir(parents=True)
+        (pkg / sub / "a.py").write_text(f"# {sub}\n")
+    (pkg / "config.py").write_text("X = 1\n")
+    (pkg / "cli.py").write_text("# cli\n")
+
+    d0 = aot_cache._digest_tree(pkg)
+    assert d0 == aot_cache._digest_tree(pkg)  # deterministic
+
+    (pkg / "cli.py").write_text("# cli CHANGED\n")
+    (pkg / "utils" / "a.py").write_text("# utils CHANGED\n")
+    (pkg / "testing" / "a.py").write_text("# testing CHANGED\n")
+    assert aot_cache._digest_tree(pkg) == d0  # host-side edits ignored
+
+    (pkg / "ops" / "a.py").write_text("# ops CHANGED\n")
+    d1 = aot_cache._digest_tree(pkg)
+    assert d1 != d0  # traced-source edits invalidate
+
+    (pkg / "config.py").write_text("X = 2\n")
+    assert aot_cache._digest_tree(pkg) not in (d0, d1)
