@@ -21,11 +21,15 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# CPU unless explicitly overridden: this environment PRESETS
+# JAX_PLATFORMS=axon, so a setdefault would silently leave the run on the
+# remote TPU tunnel (and hang when the tunnel is down).  Override with
+# MUSICA_STRESS_PLATFORM=axon to stress on the real chip.
+jax.config.update("jax_platforms",
+                  os.environ.get("MUSICA_STRESS_PLATFORM", "cpu"))
 
 from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.config import (  # noqa: E402
     MusicaConfig,
