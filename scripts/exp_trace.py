@@ -71,6 +71,21 @@ def analyze(trace_dir: str, top: int = 25) -> None:
             for op, ns in per_op.most_common(top):
                 print(f"{op[:60]:60s} {ns/1e6:9.3f} {count[op]:5d} "
                       f"{ns/count[op]/1e3:8.1f}")
+            # largest gaps between consecutive events on this line: on a
+            # flat device stream these are schedule bubbles, and the
+            # neighboring op names say which dependency stalls the stream
+            evs = sorted(line.events, key=lambda e: e.start_ns)
+            gaps = []
+            for a, b in zip(evs, evs[1:]):
+                g = b.start_ns - a.end_ns
+                if g > 0:
+                    gaps.append((g, a.name, b.name))
+            gaps.sort(reverse=True)
+            if gaps:
+                print("largest gaps:")
+                for g, before, after in gaps[:8]:
+                    print(f"  {g/1e3:9.1f} us  after {before[:40]:40s} "
+                          f"before {after[:40]}")
 
 
 def main():
