@@ -30,11 +30,14 @@ cfg = MusicaConfig(image_size=SIZE)
 
 CONFIGS = {
     "base": {},
+    "vmem4": {"xla_tpu_scoped_vmem_limit_kib": "4096"},
     "vmem8": {"xla_tpu_scoped_vmem_limit_kib": "8192"},
     "vmem12": {"xla_tpu_scoped_vmem_limit_kib": "12288"},
     "vmem24": {"xla_tpu_scoped_vmem_limit_kib": "24576"},
     "exp_cost": {"xla_tpu_enable_experimental_fusion_cost_model": "true"},
     "bundle_cost": {"xla_tpu_use_bundle_aware_cost_model": "true"},
+    "sched_mem50": {"xla_tpu_scheduler_percent_shared_memory_limit": "50"},
+    "sched_mem90": {"xla_tpu_scheduler_percent_shared_memory_limit": "90"},
 }
 
 
