@@ -142,9 +142,30 @@ def main():
             break
     if not results:
         # No subprocess sample landed within the deadline (cold remote
-        # compile, or a flaky tunnel).  Measure in-process as a last
-        # resort: unbounded, but a late number beats none at all.
+        # compile, or a flaky tunnel).  One more BOUNDED attempt with a
+        # generous timeout (a cold compile can take ~10 min), then the
+        # unbounded in-process path as the true last resort -- a dead
+        # tunnel hangs forever rather than erroring, so the bounded
+        # retry is what keeps a recoverable run from hanging.
         print("bench: no subprocess sample within deadline; "
+              "one bounded retry", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, MUSICA_BENCH_CHILD="1"),
+                capture_output=True, text=True,
+                timeout=float(os.environ.get(
+                    "MUSICA_BENCH_FINAL_TIMEOUT", "900")))
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    results.append(json.loads(line))
+                    break
+                except json.JSONDecodeError:
+                    continue
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+    if not results:
+        print("bench: bounded retry failed too; "
               "falling back to in-process measurement", file=sys.stderr)
         results = [measure()]
     best = max(results, key=lambda r: r["value"])
