@@ -180,9 +180,10 @@ def process_jit(img_u16: jnp.ndarray, cfg: MusicaConfig,
     return musica_forward(img_u16, cfg, hist_method)["out_u8"]
 
 
-@partial(jax.jit, static_argnames=("cfg", "hist_method"))
+@partial(jax.jit, static_argnames=("cfg", "hist_method", "interleave"))
 def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
-                      hist_method: str = "auto") -> jnp.ndarray:
+                      hist_method: str = "auto",
+                      interleave: int = 1) -> jnp.ndarray:
     """Batch entry: [B, n, n] uint16 -> [B, n-2m, n-2m] uint8.
 
     Uses ``lax.map`` (sequential per-image execution of the optimal
@@ -190,9 +191,26 @@ def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
     slices degrades per-image throughput 2-4x on v5e, while lax.map
     amortizes dispatch and runs at 1.09x the single-image rate at B=4
     (25.9 -> 14.8 ms, 2.55 GPix/s; scripts/exp_batch.py, docs/PERFORMANCE.md).
+
+    ``interleave=g`` (with B divisible by g) maps over GROUPS of g images,
+    each group traced as g independent single-image programs in one map
+    body: same per-image layouts, but the latency-hiding scheduler gets g
+    independent dataflows to fill inter-fusion bubbles the strictly
+    sequential body exposes (scripts/exp_interleave.py).  Bit-identical to
+    ``interleave=1`` for any g.
     """
-    return jax.lax.map(
-        lambda im: musica_forward(im, cfg, hist_method)["out_u8"], imgs_u16)
+    B = imgs_u16.shape[0]
+    g = interleave
+    if g <= 1 or B % g:
+        return jax.lax.map(
+            lambda im: musica_forward(im, cfg, hist_method)["out_u8"],
+            imgs_u16)
+    grouped = imgs_u16.reshape(B // g, g, *imgs_u16.shape[1:])
+    out = jax.lax.map(
+        lambda grp: jnp.stack(
+            [musica_forward(grp[i], cfg, hist_method)["out_u8"]
+             for i in range(g)]), grouped)
+    return out.reshape(B, *out.shape[2:])
 
 
 def process(img_u16, cfg: Optional[MusicaConfig] = None,

@@ -80,6 +80,27 @@ def test_batch_matches_single(phantom_256):
     np.testing.assert_array_equal(batch[1], single)
 
 
+def test_batch_interleave_bit_identical(phantom_256, phantom_512, rng):
+    """interleave=g traces g independent single-image programs per map body
+    (schedule-bubble filling, scripts/exp_interleave.py); outputs must be
+    bit-identical to the sequential lax.map path for distinct inputs."""
+    cfg = MusicaConfig(image_size=256)
+    imgs = np.stack([
+        phantom_256,
+        np.asarray(phantom_512[:256, :256]),
+        rng.integers(0, 60000, (256, 256)).astype(np.uint16),
+        phantom_256[::-1, ::-1].copy(),
+    ])
+    xb = jnp.asarray(imgs)
+    seq = np.asarray(musica.process_batch_jit(xb, cfg))
+    for g in (2, 4):
+        inter = np.asarray(musica.process_batch_jit(xb, cfg, interleave=g))
+        np.testing.assert_array_equal(inter, seq, err_msg=f"interleave={g}")
+    # non-divisible group size falls back to the sequential path
+    odd = np.asarray(musica.process_batch_jit(xb[:3], cfg, interleave=2))
+    np.testing.assert_array_equal(odd, seq[:3])
+
+
 def test_output_properties(phantom_512):
     cfg = MusicaConfig(image_size=512)
     out = musica.process(phantom_512, cfg)
