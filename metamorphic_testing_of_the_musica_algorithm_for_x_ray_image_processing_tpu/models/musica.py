@@ -30,6 +30,12 @@ from ..ops import curves, gradation, noise, normalize, pyramid, stats
 
 F32 = jnp.float32
 
+# Default interleave group for the production batch path
+# (process_batch_jit).  Set by the on-chip A/B of
+# scripts/exp_interleave.py (docs/PERFORMANCE.md); 1 = strictly
+# sequential lax.map body.
+DEFAULT_INTERLEAVE = 1
+
 
 def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
                    hist_method: str = "auto",
@@ -183,7 +189,7 @@ def process_jit(img_u16: jnp.ndarray, cfg: MusicaConfig,
 @partial(jax.jit, static_argnames=("cfg", "hist_method", "interleave"))
 def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
                       hist_method: str = "auto",
-                      interleave: int = 1) -> jnp.ndarray:
+                      interleave: int = DEFAULT_INTERLEAVE) -> jnp.ndarray:
     """Batch entry: [B, n, n] uint16 -> [B, n-2m, n-2m] uint8.
 
     Uses ``lax.map`` (sequential per-image execution of the optimal
@@ -213,6 +219,29 @@ def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
     return out.reshape(B, *out.shape[2:])
 
 
+def batch_checksum(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
+                   hist_method: str = "auto",
+                   interleave: int = DEFAULT_INTERLEAVE) -> jnp.ndarray:
+    """Scalar uint32 checksum of the batch path's outputs (bench fence).
+
+    Mirrors process_batch_jit's interleave structure exactly -- same map
+    bodies, same grouping -- but reduces each image to a scalar so the
+    bench's host fence transfers 4 bytes instead of the output batch.
+    Not jitted here: callers wrap it (bench.py uses the AOT cache).
+    """
+    def one(im):
+        return musica_forward(im, cfg, hist_method)["out_u8"].astype(
+            jnp.uint32).sum()
+
+    B = imgs_u16.shape[0]
+    g = interleave
+    if g <= 1 or B % g:
+        return jax.lax.map(one, imgs_u16).sum()
+    grouped = imgs_u16.reshape(B // g, g, *imgs_u16.shape[1:])
+    return jax.lax.map(
+        lambda grp: sum(one(grp[i]) for i in range(g)), grouped).sum()
+
+
 def process(img_u16, cfg: Optional[MusicaConfig] = None,
             hist_method: str = "auto"):
     """Convenience host API mirroring the golden model's signature."""
@@ -223,13 +252,17 @@ def process(img_u16, cfg: Optional[MusicaConfig] = None,
 
 
 def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
-                  hist_method: str = "auto"):
+                  hist_method: str = "auto", want_extras: bool = False):
     """Per-phase timed execution, the analogue of MEASURE_PROCESS
     (src/vk_processing.cpp:2580-2596: one fence per phase, printf summary).
 
     Runs each phase as its own fenced jit call, so -- exactly like the
     reference's extra fences -- the timed run is slower than the fused one.
-    Returns (out_u8, {phase: ms}).
+    The timed phases execute the CONFIGURED variant (enable_clahe /
+    grad_with_linear_image), matching the reference where MEASURE_PROCESS
+    fences the real pass whatever the compile-time variant.
+    Returns (out_u8, {phase: ms}); with ``want_extras`` also a dict of
+    variant outputs (``clahe_graded`` when cfg.enable_clahe).
     """
     import time
 
@@ -297,12 +330,24 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
 
     @partial(jax.jit, static_argnames=("cfg", "hm"))
     def phase_grad(recon, nrm, cnr, cfg=cfg, hm=hist_method):
+        # same variant wiring as musica_forward's phase 7: CLAHE computes
+        # the explicit relevance image + per-tile tone map; default fuses
+        # relevance into the gradation histogram
         gi = recon * recon if cfg.grad_with_linear_image else recon
-        ghist = gradation.gradation_histogram_fused_relevance(
-            gi, nrm, cnr, cfg, hm)
+        extras = {}
+        if cfg.enable_clahe:
+            from ..ops import clahe as clahe_ops
+            relevant = noise.img_relevant(nrm, cnr, cfg)
+            extras["clahe_graded"] = clahe_ops.clahe_grade(
+                recon, relevant, cfg, hm)
+            ghist = gradation.gradation_histogram(gi, relevant, cfg, hm)
+        else:
+            ghist = gradation.gradation_histogram_fused_relevance(
+                gi, nrm, cnr, cfg, hm)
         gpx, gpy, _ = gradation.gradation_curve(ghist, cfg)
         m = cfg.out_margin
-        return curves.curve_apply_u8_adaptive(gpx, gpy, gi[..., m:-m, m:-m])
+        return curves.curve_apply_u8_adaptive(
+            gpx, gpy, gi[..., m:-m, m:-m]), extras
 
     t0 = time.perf_counter()
     nrm = phase_norm(img)
@@ -330,8 +375,11 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
     times["exp"] = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()
-    out = phase_grad(recon, nrm, cnr)
+    out, extras = phase_grad(recon, nrm, cnr)
     out_np = np.asarray(out)
+    extras_np = {k: np.asarray(v) for k, v in extras.items()}  # fence
     times["grad"] = (time.perf_counter() - t0) * 1e3
     times["tot"] = sum(times.values())
+    if want_extras:
+        return out_np, times, extras_np
     return out_np, times
