@@ -48,9 +48,15 @@ def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
 
 
 def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
-                    hist_method: str = "auto") -> jnp.ndarray:
+                    hist_method: str = "auto",
+                    outputs: Sequence[str] = ("out_u8",)):
     """Batched pipeline with batch sharded over ``data`` and image rows over
     ``space``.  Input [B, n, n] uint16, output [B, n-2m, n-2m] uint8.
+
+    ``outputs`` selects which musica_forward results to return (a single
+    array for one name, else a tuple in order).  Variant outputs that are
+    not consumed are dead-code-eliminated by XLA, so e.g. the CLAHE path is
+    only *executed* under sharding when ``"clahe_graded"`` is requested.
 
     Both mesh shapes run the UNBATCHED single-image program (``lax.map``
     over the local batch) -- never ``vmap``, whose batched strided-slice
@@ -69,6 +75,12 @@ def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
     if hist_method == "auto" and mesh.shape["space"] > 1:
         hist_method = "fact"
     in_spec = NamedSharding(mesh, P("data", "space", None))
+    outputs = tuple(outputs)
+    out_specs = tuple(P("data", None, None) for _ in outputs)
+
+    def per_image(im):
+        r = musica.musica_forward(im, cfg, hist_method)
+        return tuple(r[k] for k in outputs)
 
     if mesh.shape["space"] == 1:
         # pure data parallelism: shard_map + per-device lax.map runs the
@@ -80,12 +92,11 @@ def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
         # shard_map region (only surfaces on TPU, where 'auto' dispatches
         # to the Pallas histogram kernels)
         run = jax.jit(jax.shard_map(
-            lambda b: jax.lax.map(
-                lambda im: musica.musica_forward(im, cfg, hist_method)["out_u8"],
-                b),
+            lambda b: jax.lax.map(per_image, b),
             mesh=mesh, in_specs=P("data", None, None),
-            out_specs=P("data", None, None), check_vma=False))
-        return run(jax.device_put(imgs_u16, in_spec))
+            out_specs=out_specs, check_vma=False))
+        out = run(jax.device_put(imgs_u16, in_spec))
+        return out[0] if len(outputs) == 1 else out
 
     # data x space: manual over `data`, auto (GSPMD) over `space`.  The body
     # sees the local [B/data, n, n] shard still row-sharded over `space`;
@@ -93,13 +104,13 @@ def process_sharded(imgs_u16: jnp.ndarray, cfg: MusicaConfig, mesh: Mesh,
     # each image's rows across the `space` subgroup.
     def body(b):
         b = jax.lax.with_sharding_constraint(b, P(None, "space", None))
-        return jax.lax.map(
-            lambda im: musica.musica_forward(im, cfg, hist_method)["out_u8"], b)
+        return jax.lax.map(per_image, b)
 
     run = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=P("data", None, None),
-        out_specs=P("data", None, None), axis_names={"data"}))
-    return run(jax.device_put(imgs_u16, in_spec))
+        out_specs=out_specs, axis_names={"data"}))
+    out = run(jax.device_put(imgs_u16, in_spec))
+    return out[0] if len(outputs) == 1 else out
 
 
 def throughput_step(cfg: MusicaConfig, mesh: Mesh, batch_per_device: int = 1):

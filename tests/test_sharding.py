@@ -74,3 +74,39 @@ def test_throughput_step_runs():
     step, batch = sharding.throughput_step(cfg, mesh, batch_per_device=1)
     s = step(batch)
     assert np.asarray(s).shape == ()
+
+
+@pytest.mark.parametrize("variant", ["clahe", "linear"])
+def test_variant_sharding_576(variant):
+    """CLAHE / linear-gradation configs under GSPMD row sharding at 576
+    (> hist_coverage 512, so the noise-hist coverage quirk #8 is live on a
+    sharded image).  round-3 gap: only the default config ever ran sharded.
+
+    For CLAHE the tile tone-map output itself is requested from the sharded
+    program (otherwise XLA dead-code-eliminates the whole CLAHE path)."""
+    cfg = MusicaConfig(image_size=576,
+                       enable_clahe=(variant == "clahe"),
+                       grad_with_linear_image=(variant == "linear"))
+    assert cfg.hist_coverage == 512
+    imgs = np.stack([synthetic_radiograph(576, "thorax"),
+                     synthetic_radiograph(576, "head")])
+    mesh = sharding.make_mesh(n_data=2, n_space=4)
+    outputs = ("out_u8", "clahe_graded") if variant == "clahe" else ("out_u8",)
+    out = sharding.process_sharded(jnp.asarray(imgs), cfg, mesh,
+                                   outputs=outputs)
+
+    @jax.jit
+    def one(im):
+        r = musica.musica_forward(im, cfg, "fact")
+        return tuple(r[k] for k in outputs)
+
+    ref = [np.stack(x) for x in zip(*(one(im) for im in jnp.asarray(imgs)))]
+    # odd pyramid levels (9/5/3) pick up 1-ulp FMA/fusion differences in the
+    # partitioned expand ladder (see test_spatial_sharding_ragged_sizes)
+    diff = np.abs(np.asarray(out[0] if variant == "clahe" else out)
+                  .astype(np.int32) - ref[0].astype(np.int32))
+    assert diff.max() <= 1, f"max u8 delta {diff.max()}"
+    assert (diff > 0).mean() < 1e-4
+    if variant == "clahe":
+        np.testing.assert_allclose(np.asarray(out[1]), ref[1],
+                                   rtol=0, atol=1e-5)
