@@ -204,6 +204,18 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    if args.platform:
+        _force_platform(args.platform)
+    from .config import MusicaConfig
+    from .utils.viewer import serve
+
+    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks)
+    serve(args.input, cfg, transpose=not args.no_transpose,
+          host=args.host, port=args.port, report_dir=args.report_dir)
+    return 0
+
+
 def cmd_campaign(args) -> int:
     if args.platform:
         _force_platform(args.platform)
@@ -287,6 +299,18 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("out_dir")
     p.set_defaults(fn=cmd_report)
+
+    p = sub.add_parser("view", help="interactive HTTP viewer (the GLFW/"
+                                    "ImGui app shell's live analogue: "
+                                    "double-buffered out image, render "
+                                    "panels, execute/debugProcess buttons)")
+    _add_common(p)
+    p.add_argument("input", help="raw input image (re-read on each execute)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--report-dir", default="viewer_report",
+                   help="debugProcess() output directory")
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("campaign", help="run the metamorphic-testing campaign")
     _add_common(p)

@@ -179,6 +179,14 @@ def curve_get_y_general(px: jnp.ndarray, py: jnp.ndarray,
     px_e = jnp.concatenate([px, jnp.zeros((1,), F32)])
     py_e = jnp.concatenate([py, jnp.zeros((1,), F32)])
     x = x.astype(F32)
+    # The GLSL getY returns 0.0 for ANY unmatched x including NaN/+-inf
+    # (every interval test is false), but the no-match (0, 0, 0) triple
+    # below lerps to +0.0 only for FINITE x (0 * inf = NaN).  Redirect
+    # nonfinite x to a finite sentinel far above every real curve's domain
+    # (px is O(1) in this pipeline): it misses every interval and the
+    # no-match lerp yields exactly +0.0 -- 2 VPU ops instead of an n-term
+    # hit_any chain on the hot tone-map path.
+    x = jnp.where(jnp.isfinite(x), x, F32(3.0e38))
     ms = (py_e[1:] - py_e[:-1]) / (px_e[1:] - px_e[:-1])
     nonmono = px_e[1:] <= px_e[:-1]
     m_safe = jnp.where(nonmono, F32(0.0), ms)

@@ -82,12 +82,16 @@ def _tree_sum(parts):
     return parts[0]
 
 
-def _accumulate_fact(bins, w, out_ref, C: int, F: int):
+def _accumulate_fact(bins, w, out_ref, C: int, F: int,
+                     max_weight: int = 100):
     """Per-row factorized one-hot accumulation (see histogram.py).
 
     Counts must stay EXACT integers (the GLSL histogram is a uint32 atomic):
-    each per-row f32 matmul partial is bounded by K * max_weight(100) < 2^24
-    and therefore exact.  Rows are INDEPENDENT dots whose f32 partials are
+    each per-row f32 matmul partial is bounded by K * max_weight < 2^24
+    and therefore exact.  ``max_weight`` MUST bound every caller's weights
+    (noise: w in {0, 1}; gradation/CLAHE: trunc(relevant * 100) <= 100) --
+    the group sizing below depends on it; a larger-weight caller must pass
+    its own bound or counts silently overflow the exact-f32 window.  Rows are INDEPENDENT dots whose f32 partials are
     tree-summed in groups sized so every f32 partial sum stays < 2^24
     (exact, order-free), with int32 accumulation across groups -- unlike the
     original serial ``acc += part`` chain this has no MXU->VPU dependency
@@ -118,9 +122,9 @@ def _accumulate_fact(bins, w, out_ref, C: int, F: int):
     parts = jax.lax.dot_general(
         a_t, f_t, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=F32)
-    # group * width * max_weight(100) < 2^24 keeps every f32 partial exact;
+    # group * width * max_weight < 2^24 keeps every f32 partial exact;
     # int32 accumulation across groups (the GLSL histogram is uint32)
-    grp = max(1, (1 << 24) // (width * 100 + 1))
+    grp = max(1, (1 << 24) // (width * max_weight + 1))
     acc = jnp.zeros(out_ref.shape, I32)
     for s in range(0, rows, grp):
         acc = acc + _tree_sum(

@@ -209,11 +209,20 @@ def analysis_noise_hists(sdevs, cfg: MusicaConfig, method: str = "auto"):
     if method == "auto":
         method = "multi" if jax.default_backend() == "tpu" else "fact"
     if method in ("multi", "multi_interpret"):
+        from .pallas.histogram import _factor
+
         views = {i: coverage_view(sdevs[i], cfg) for i in levels}
         covs = [v.shape[-1] for v in views.values() if v is not None]
         live = [i for i in levels if views[i] is not None]
         tile = cfg.histogram_area_size
-        if covs and max(covs) <= 512 and all(c % tile == 0 for c in covs):
+        # the multi kernel's flat-index argmax needs bins == C*F exactly
+        # (noise_hist_argmax_multi asserts it); non-factorizable bin counts
+        # (any non-multiple of 32) fall back to the per-level fused path,
+        # which handles padded factorizations
+        bins_exact = _factor(cfg.noise_histogram_bins)[2] == \
+            cfg.noise_histogram_bins
+        if (bins_exact and covs and max(covs) <= 512
+                and all(c % tile == 0 for c in covs)):
             cov = max(covs)
             rows = next((r for r in (128, 64, 32, 16) if cov % r == 0), None)
             if rows is not None:

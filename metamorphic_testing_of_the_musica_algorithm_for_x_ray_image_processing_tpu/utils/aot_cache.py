@@ -16,6 +16,12 @@ Usage:
 
 The cache directory defaults to ``~/.cache/musica_tpu_aot`` and can be
 overridden with ``MUSICA_AOT_CACHE`` (empty string disables caching).
+
+SECURITY: cache entries are pickled (JAX's own deserialize_and_load is
+pickle-based), so loading an entry executes whatever the blob contains.
+``MUSICA_AOT_CACHE`` must therefore point at a TRUSTED, user-owned
+directory -- never a shared or world-writable path like /tmp.  The default
+directory is created with mode 0o700.
 """
 
 from __future__ import annotations
@@ -152,7 +158,7 @@ def cached_compile(fn: Callable, key_parts: Sequence, example_args: tuple,
                 compiled._executable.xla_executable.local_devices()]
         except Exception:
             device_ids = []
-        d.mkdir(parents=True, exist_ok=True)
+        d.mkdir(parents=True, exist_ok=True, mode=0o700)
         tmp = path.with_suffix(".tmp")
         tmp.write_bytes(_pack(payload, in_tree, out_tree, device_ids))
         tmp.replace(path)

@@ -213,3 +213,26 @@ def test_pipeline_multi_hist_matches_fact():
     b = np.asarray(musica.musica_forward(jnp.asarray(img), cfg,
                                          "fact")["out_u8"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_multi_dispatch_nonfactorizable_bins_falls_back():
+    """A noise_histogram_bins value _factor can't split exactly (any
+    non-multiple of 32, e.g. 2000 -> padded 2048 != 2000) must NOT reach
+    noise_hist_argmax_multi (whose flat-index argmax asserts an exact
+    factorization at trace time); analysis_noise_hists falls back to the
+    per-level fused path, which handles padded factorizations."""
+    rng = np.random.default_rng(5)
+    cfg = MusicaConfig(image_size=256, noise_histogram_bins=2000)
+    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.ops.pallas.histogram import _factor
+    assert _factor(cfg.noise_histogram_bins)[2] != cfg.noise_histogram_bins
+    sdevs = {}
+    for i in cfg.analysis_levels:
+        n = 256 >> i
+        sd = rng.uniform(0, 0.12, (n, n)).astype(np.float32)
+        sdevs[i] = jnp.asarray(_snap_noise_bins(sd, cfg))
+    hists, maxb = stats.analysis_noise_hists(sdevs, cfg, "multi_interpret")
+    for i in cfg.analysis_levels:
+        ref = np.asarray(stats.noise_histogram(sdevs[i], cfg, "fact"))
+        np.testing.assert_array_equal(np.asarray(hists[i]), ref,
+                                      err_msg=f"level {i}")
+        assert int(maxb[i]) == int(np.argmax(ref)), f"level {i} argmax"

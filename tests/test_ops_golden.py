@@ -377,7 +377,13 @@ def test_curve_get_y_general_equivalence(rng):
     """The branchless general chain must match the first-match scan
     BIT-exactly for arbitrary px shapes: sorted, fold-back tails (the
     gradation ts > t1 overshoot family), duplicate points, exact boundary
-    hits and 1-ulp neighbors, and out-of-range x."""
+    hits and 1-ulp neighbors, out-of-range x, and nonfinite x (NaN/inf
+    must yield 0.0 like the GLSL no-match path, not 0*inf = NaN).
+
+    xs is padded to ONE static length so the 120 trials hit at most 32
+    compile shapes (two fns x n in [2, 34)) instead of recompiling every
+    trial -- same adversarial coverage, ~4x less suite wall time."""
+    XLEN = 64 + 3 * 33 + 6
     for trial in range(120):
         n = int(rng.integers(2, 34))
         pxs = np.sort(rng.uniform(0, 1, n)).astype(np.float32)
@@ -395,9 +401,13 @@ def test_curve_get_y_general_equivalence(rng):
             rng.uniform(-0.1, 1.1, 64).astype(np.float32), pxs,
             np.nextafter(pxs, 2, dtype=np.float32),
             np.nextafter(pxs, -1, dtype=np.float32),
-            np.array([0.0, 1.0, pxs[-1]], np.float32)]).astype(np.float32)
+            np.array([0.0, 1.0, pxs[-1], np.nan, np.inf, -np.inf],
+                     np.float32)]).astype(np.float32)
+        xs = np.concatenate([
+            xs, rng.uniform(-0.1, 1.1, XLEN - len(xs)).astype(np.float32)])
         a = np.asarray(curves.curve_get_y(jnp.asarray(pxs), jnp.asarray(pys),
                                           jnp.asarray(xs)))
         b = np.asarray(curves.curve_get_y_general(
             jnp.asarray(pxs), jnp.asarray(pys), jnp.asarray(xs)))
         np.testing.assert_array_equal(a, b)
+        assert not np.isnan(b).any()

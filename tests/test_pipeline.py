@@ -142,21 +142,22 @@ def test_odd_size_pipeline_matches_golden():
 
 
 @pytest.mark.parametrize("variant", ["default", "clahe", "linear"])
-def test_timed_process_matches_untimed(phantom_512, variant):
+def test_timed_process_matches_untimed(phantom_256, variant):
     """timed_process must run the CONFIGURED variant (the reference's
     MEASURE_PROCESS fences the real pass, src/vk_processing.cpp:2580-2596):
     the per-phase fenced execution's output must be bit-identical to
     musica_forward's for every variant (round-3 regression: the timed grad
-    phase ignored enable_clahe)."""
+    phase ignored enable_clahe).  256 px: the check is phase-WIRING
+    equality, which is size-independent (suite budget)."""
     import jax
 
-    cfg = MusicaConfig(image_size=512,
+    cfg = MusicaConfig(image_size=256,
                        enable_clahe=(variant == "clahe"),
                        grad_with_linear_image=(variant == "linear"))
     res = jax.jit(lambda im: musica.musica_forward(im, cfg))(
-        jnp.asarray(phantom_512))
+        jnp.asarray(phantom_256))
     timed_out, times, extras = musica.timed_process(
-        phantom_512, cfg, want_extras=True)
+        phantom_256, cfg, want_extras=True)
     ref_out = np.asarray(res["out_u8"])
     if variant == "linear":
         # recon*recon crosses a jit-partition boundary in the timed path:

@@ -39,7 +39,9 @@ def test_spatial_sharding_matches_single():
     np.testing.assert_array_equal(out, ref)
 
 
-@pytest.mark.parametrize("size", [600, 1792])
+@pytest.mark.parametrize(
+    "size",
+    [600, pytest.param(1792, marks=pytest.mark.slow)])
 def test_spatial_sharding_ragged_sizes(size):
     """Row-sharded pipeline at non-power-of-two sizes where ceil(n/2)
     pyramid levels go odd (600 -> 300/150/75/38/19/10/5/3/2) and shard
