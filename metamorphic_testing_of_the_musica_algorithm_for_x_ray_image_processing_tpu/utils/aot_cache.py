@@ -109,6 +109,25 @@ def cached_compile(fn: Callable, key_parts: Sequence, example_args: tuple,
         return jitted
     path = d / f"{key}.bin"
 
+    # JAX's persistent compilation cache (when configured, e.g. by
+    # tests/conftest.py for the CPU suite) corrupts BOTH directions of the
+    # serialize_executable round trip on a multi-device CPU backend: an
+    # executable served from that cache re-serializes into a blob whose
+    # dispatch fails, and deserialize_and_load itself produces a broken
+    # executable ("Buffer Definition Event: Function ... not found") when
+    # the cache is merely enabled.  Bypass it around this module's load and
+    # compile (the axon/TPU path never configures it, so this is a no-op
+    # there).
+    def _xla_cache_bypassed(op):
+        xla_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+        try:
+            if xla_dir:
+                jax.config.update("jax_compilation_cache_dir", None)
+            return op()
+        finally:
+            if xla_dir:
+                jax.config.update("jax_compilation_cache_dir", xla_dir)
+
     if path.exists():
         try:
             from jax.experimental import serialize_executable as se
@@ -125,9 +144,10 @@ def cached_compile(fn: Callable, key_parts: Sequence, example_args: tuple,
                     [by_id[i] for i in device_ids]
                     if device_ids and all(i in by_id for i in device_ids)
                     else None)
-                compiled = se.deserialize_and_load(
-                    payload, in_tree, out_tree,
-                    execution_devices=exec_devices)
+                compiled = _xla_cache_bypassed(
+                    lambda: se.deserialize_and_load(
+                        payload, in_tree, out_tree,
+                        execution_devices=exec_devices))
                 # Deserialization can succeed and still fail at dispatch
                 # (e.g. XLA:CPU records tuning pseudo-features like
                 # +prefer-no-scatter that the host feature probe never
@@ -146,8 +166,10 @@ def cached_compile(fn: Callable, key_parts: Sequence, example_args: tuple,
             except OSError:
                 pass
 
-    lowered = jitted.lower(*example_args)
-    compiled = lowered.compile()
+    # The saved entry must always come from a fresh build (see
+    # _xla_cache_bypassed above).
+    compiled = _xla_cache_bypassed(
+        lambda: jitted.lower(*example_args).compile())
     try:
         from jax.experimental import serialize_executable as se
 

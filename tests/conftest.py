@@ -57,3 +57,23 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+# Persistent XLA compile cache for the CPU test backend: the suite runs on
+# ONE host core and is dominated by ~200 full-pipeline compiles, so repeat
+# runs (CI, review re-runs, iteration) drop from ~15 to well under 10 min.
+# Safe here: the known cache-hit HANG is specific to the axon remote-TPU
+# backend (memory/axon-background-task-hygiene); tests force CPU above.
+# Disable with MUSICA_TEST_COMPILE_CACHE="".
+_cache_dir = os.environ.get(
+    "MUSICA_TEST_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "musica_test_xla"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # "all" (the default) lets cached executables share XLA-level kernel
+    # caches across compiles; such executables reference kernel functions
+    # that serialize_executable does NOT capture, breaking the MUSICA AOT
+    # cache's round trip on the 8-device backend ("Buffer Definition
+    # Event: Function ... not found" at dispatch of a deserialized entry).
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")

@@ -92,7 +92,10 @@ def test_variant_sharding_576(variant):
     assert cfg.hist_coverage == 512
     imgs = np.stack([synthetic_radiograph(576, "thorax"),
                      synthetic_radiograph(576, "head")])
-    mesh = sharding.make_mesh(n_data=2, n_space=4)
+    # (2, 2): row sharding still exercises conv halos + hist all-reduces +
+    # the coverage quirk; the 4-way space split is covered by the ragged
+    # tests (suite runs on ONE host core, so GSPMD compile time dominates)
+    mesh = sharding.make_mesh(n_data=2, n_space=2)
     outputs = ("out_u8", "clahe_graded") if variant == "clahe" else ("out_u8",)
     out = sharding.process_sharded(jnp.asarray(imgs), cfg, mesh,
                                    outputs=outputs)
