@@ -153,10 +153,13 @@ def cmd_batch(args) -> int:
         import jax
         from .utils.aot_cache import cached_compile
         example = jnp.zeros((B, args.size, args.size), jnp.uint16)
+        # same interleaved formulation as the jit path (models/musica.py::
+        # process_batch_jit); nested jit is inlined at trace time
+        g = musica.DEFAULT_INTERLEAVE
         batch_fwd = cached_compile(
-            lambda b: jax.lax.map(
-                lambda im: musica.musica_forward(im, cfg)["out_u8"], b),
-            key_parts=("batch", cfg), example_args=(example,), verbose=True)
+            lambda b: musica.process_batch_jit(b, cfg, interleave=g),
+            key_parts=("batch", g, cfg), example_args=(example,),
+            verbose=True)
     t0 = time.perf_counter()
 
     def save_chunk(chunk, outs_dev):

@@ -32,9 +32,18 @@ F32 = jnp.float32
 
 # Default interleave group for the production batch path
 # (process_batch_jit).  Set by the on-chip A/B of
-# scripts/exp_interleave.py (docs/PERFORMANCE.md); 1 = strictly
-# sequential lax.map body.
-DEFAULT_INTERLEAVE = 1
+# scripts/exp_interleave2.py at 3072/B=4: g=4 3.675 ms/img vs g=2 3.685
+# vs g=1 3.744 (docs/PERFORMANCE.md).  Batches not divisible by g fall
+# back to the largest divisor (bit-identical for any g).
+DEFAULT_INTERLEAVE = 4
+
+
+def _effective_interleave(batch: int, g: int) -> int:
+    """Largest g' <= g that divides ``batch`` (1 if g <= 1)."""
+    g = max(1, min(g, batch))
+    while batch % g:
+        g -= 1
+    return g
 
 
 def _contrast_apply_rank3(bandpass, sdevs, curve_list, cfg: MusicaConfig):
@@ -273,7 +282,8 @@ def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
     amortizes dispatch and runs at 1.09x the single-image rate at B=4
     (25.9 -> 14.8 ms, 2.55 GPix/s; scripts/exp_batch.py, docs/PERFORMANCE.md).
 
-    ``interleave=g`` (with B divisible by g) maps over GROUPS of g images,
+    ``interleave=g`` (reduced to the largest divisor of B) maps over
+    GROUPS of g images,
     each group traced as g independent single-image programs in one map
     body: same per-image layouts, but the latency-hiding scheduler gets g
     independent dataflows to fill inter-fusion bubbles the strictly
@@ -281,8 +291,8 @@ def process_batch_jit(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
     ``interleave=1`` for any g.
     """
     B = imgs_u16.shape[0]
-    g = interleave
-    if g <= 1 or B % g:
+    g = _effective_interleave(B, interleave)
+    if g <= 1:
         return jax.lax.map(
             lambda im: musica_forward(im, cfg, hist_method)["out_u8"],
             imgs_u16)
@@ -309,8 +319,8 @@ def batch_checksum(imgs_u16: jnp.ndarray, cfg: MusicaConfig,
             jnp.uint32).sum()
 
     B = imgs_u16.shape[0]
-    g = interleave
-    if g <= 1 or B % g:
+    g = _effective_interleave(B, interleave)
+    if g <= 1:
         return jax.lax.map(one, imgs_u16).sum()
     grouped = imgs_u16.reshape(B // g, g, *imgs_u16.shape[1:])
     return jax.lax.map(

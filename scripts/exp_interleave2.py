@@ -85,7 +85,8 @@ def main():
             lambda a, g=g: musica.batch_checksum(a, cfg, interleave=g),
             key_parts=("bench_b4", g, cfg), example_args=(xb4,), verbose=True)
         chk = int(np.asarray(fb(xb4)))
-        assert chk == sum(ref), (g, chk, sum(ref))
+        # the device checksum is uint32 and wraps; compare mod 2**32
+        assert chk == sum(ref) % (1 << 32), (g, chk, sum(ref))
         ms = marginal_ms(fb, (xb4,), k=8) / 4
         results[f"b4_g{g}_ms_per_img"] = ms
         print(f"B=4 g={g}    {ms:7.3f} ms/img  ({ms1 / ms:.3f}x single, "
@@ -102,7 +103,7 @@ def main():
         key_parts=("bench_b8", best_g, cfg), example_args=(xb8,),
         verbose=True)
     chk = int(np.asarray(f8(xb8)))
-    assert chk == 2 * sum(ref)
+    assert chk == (2 * sum(ref)) % (1 << 32), (chk, sum(ref))
     ms8 = marginal_ms(f8, (xb8,), k=5) / 8
     results["b8_best_g_ms_per_img"] = ms8
     results["best_g"] = best_g

@@ -92,11 +92,16 @@ def test_batch_interleave_bit_identical(phantom_256, phantom_512, rng):
         phantom_256[::-1, ::-1].copy(),
     ])
     xb = jnp.asarray(imgs)
-    seq = np.asarray(musica.process_batch_jit(xb, cfg))
+    seq = np.asarray(musica.process_batch_jit(xb, cfg, interleave=1))
     for g in (2, 4):
         inter = np.asarray(musica.process_batch_jit(xb, cfg, interleave=g))
         np.testing.assert_array_equal(inter, seq, err_msg=f"interleave={g}")
-    # non-divisible group size falls back to the sequential path
+    # the default (g=4 since the round-4 on-chip A/B) is one of the above
+    dflt = np.asarray(musica.process_batch_jit(xb, cfg))
+    np.testing.assert_array_equal(dflt, seq)
+    # non-divisible batches reduce g to the largest divisor (B=3, g=2 -> 1)
+    assert musica._effective_interleave(3, 2) == 1
+    assert musica._effective_interleave(6, 4) == 3
     odd = np.asarray(musica.process_batch_jit(xb[:3], cfg, interleave=2))
     np.testing.assert_array_equal(odd, seq[:3])
 
