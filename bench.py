@@ -30,7 +30,8 @@ Methodology notes:
   (removes the fixed host<->device round trip), best of 6.
 * Throughput is the better of the single-image program (K=25) and the
   production batch path (models/musica.py::process_batch_jit formulation:
-  lax.map over B=4 independent images); both rates are recorded.
+  interleaved lax.map over B=16 independent images, the measured-best
+  batch size -- scripts/exp_interleave3.py); both rates are recorded.
 * The relay's per-SESSION state swings the same executable's measured cost
   by up to ~15% across processes (3.44-4.01 ms for one program;
   scripts/exp_variance.py -- within-process recompiles stay within 1%, so
@@ -59,7 +60,7 @@ HARD_DEADLINE_S = float(os.environ.get("MUSICA_BENCH_HARD_DEADLINE", "480"))
 # Budget for spawning new sample children (leave margin for the final emit).
 SAMPLE_BUDGET_S = float(os.environ.get("MUSICA_BENCH_DEADLINE",
                                        str(HARD_DEADLINE_S - 40)))
-MAX_SAMPLES = int(os.environ.get("MUSICA_BENCH_SAMPLES", "4"))
+MAX_SAMPLES = int(os.environ.get("MUSICA_BENCH_SAMPLES", "6"))
 # A child with a warm AOT cache takes ~20-120 s; don't start one into a
 # window it can't finish unless we still have nothing at all.
 MIN_CHILD_WINDOW_S = 150.0
@@ -190,17 +191,18 @@ def measure() -> dict:
     gpix_single = size * size / single_s / 1e9
 
     # Sustained throughput: the production batch path
-    # (models/musica.py::process_batch_jit with its default interleave)
-    # amortizes per-dispatch gaps across independent radiographs.
-    B = 4
+    # (models/musica.py::process_batch_jit with its default interleave).
+    # B=16 is the measured-best batch size at 3072 (3.619 ms/img vs 3.675
+    # at B=4, scripts/exp_interleave3.py round-4 on-chip).
+    B = int(os.environ.get("MUSICA_BENCH_BATCH", "16"))
     gpix_batch = 0.0
     try:
         xb = jnp.stack([x] * B)
         g = musica.DEFAULT_INTERLEAVE
         fb = cached_compile(
             lambda a: musica.batch_checksum(a, cfg, interleave=g),
-            key_parts=("bench_b4", g, cfg), example_args=(xb,))
-        batch_s = marginal_s(fb, (xb,), k=8)
+            key_parts=("bench_b", B, g, cfg), example_args=(xb,))
+        batch_s = marginal_s(fb, (xb,), k=6)
         gpix_batch = size * size * B / batch_s / 1e9
     except Exception:  # noqa: BLE001 - batch path is an optional bonus
         pass
@@ -212,7 +214,8 @@ def measure() -> dict:
         "unit": "GPix/s",
         "vs_baseline": round(gpix / 2.0, 4),
         "single_image_gpix": round(gpix_single, 4),
-        "batch4_gpix": round(gpix_batch, 4),
+        "batch_gpix": round(gpix_batch, 4),
+        "batch_size": B,
         "size": size,
         "platform": jax.devices()[0].platform,
     }

@@ -14,6 +14,16 @@ def _run_bench(env_extra, timeout):
     env = {k: v for k, v in os.environ.items()
            if k != "PALLAS_AXON_POOL_IPS"}
     env["JAX_PLATFORMS"] = "cpu"
+    # reuse the suite's persistent compile cache (conftest) in the child so
+    # the fresh-sample test stays cheap on repeat runs; "none" avoids the
+    # serialize-executable incompatibility documented in conftest
+    cache = os.environ.get(
+        "MUSICA_TEST_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "musica_test_xla"))
+    if cache:
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+        env.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "none")
     env.update(env_extra)
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -38,6 +48,29 @@ def test_bench_emits_stale_last_good_when_no_sample_lands():
     assert rec.get("stale") is True
     assert rec["value"] > 0  # the seeded/persisted artifact is present
     assert rec["vs_baseline"] > 0
+
+
+def test_bench_fresh_sample_path_cpu_reduced_size():
+    """End-to-end fresh-sample path: one bounded child measures a reduced-size
+    pipeline on the CPU backend, the parent parses and emits it un-stale --
+    and the non-headline run must NOT clobber the persisted 3072/TPU
+    last-good artifact (pollution guard)."""
+    artifact = os.path.join(REPO, "artifacts", "bench_last_good.json")
+    with open(artifact) as f:
+        before = f.read()
+    p = _run_bench({"MUSICA_BENCH_SAMPLES": "1",
+                    "MUSICA_BENCH_SIZE": "128",
+                    "MUSICA_BENCH_BATCH": "4"}, timeout=420)
+    assert p.returncode == 0, p.stderr[-800:]
+    rec = _parse_single_json_line(p.stdout)
+    assert rec.get("stale") is None, rec
+    assert rec["metric"] == "musica_3072_gpix_per_s"
+    assert rec["value"] > 0
+    assert rec["platform"] == "cpu"
+    assert rec["size"] == 128
+    assert rec["samples"] == 1
+    with open(artifact) as f:
+        assert f.read() == before, "reduced-size CPU run polluted last-good"
 
 
 def test_bench_last_good_artifact_schema():
