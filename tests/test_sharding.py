@@ -117,6 +117,26 @@ def test_variant_sharding_576(variant):
                                    rtol=0, atol=1e-5)
 
 
+def test_structural_config_sharding_576():
+    """A structurally non-default config under GSPMD row sharding: shifted
+    analysis levels (coarser_levels_start=2, cnr_level=2 -> analysis set
+    {0,1,2}, NR on 2 levels) and non-factorizable histogram bins (2000) at
+    576 (coverage quirk live).  The variant test above only re-wires the
+    gradation tail; this changes which per-level programs exist at all --
+    the partitioner sees a different graph shape."""
+    cfg = MusicaConfig(image_size=576, coarser_levels_start=2, cnr_level=2,
+                       noise_histogram_bins=2000)
+    assert cfg.analysis_levels == (0, 1, 2)
+    imgs = np.stack([synthetic_radiograph(576, "foot"),
+                     synthetic_radiograph(576, "pelvis")])
+    mesh = sharding.make_mesh(n_data=2, n_space=2)
+    out = np.asarray(sharding.process_sharded(jnp.asarray(imgs), cfg, mesh))
+    ref = np.asarray(musica.process_batch_jit(jnp.asarray(imgs), cfg, "fact"))
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max u8 delta {diff.max()}"
+    assert (diff > 0).mean() < 1e-4
+
+
 def test_data_parallel_multi_output():
     """outputs=(...) on the pure-dp (space == 1, check_vma=False) path:
     the tuple plumbing through shard_map/lax.map must shard every output
