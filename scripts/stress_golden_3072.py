@@ -43,18 +43,22 @@ from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.
 )
 
 
-def main(size: int = 3072, anatomy: str = "thorax") -> None:
-    cfg = MusicaConfig(image_size=size)
+def main(size: int = 3072, anatomy: str = "thorax",
+         clahe: bool = False, linear: bool = False) -> None:
+    cfg = MusicaConfig(image_size=size, enable_clahe=clahe,
+                       grad_with_linear_image=linear)
     img = synthetic_radiograph(size, anatomy)
     print(f"size={size} anatomy={anatomy} levels={cfg.pyramid_levels} "
+          f"clahe={clahe} linear={linear} "
           f"backend={jax.devices()[0].platform}")
 
     t0 = time.time()
-    g = golden.process(img, cfg)
+    g, g_inter = golden.process(img, cfg, return_intermediates=True)
     t1 = time.time()
     print(f"golden: {t1 - t0:.1f}s")
 
-    j = np.asarray(musica.process_jit(img, cfg))
+    res = musica.musica_forward(img, cfg)
+    j = np.asarray(res["out_u8"])
     t2 = time.time()
     print(f"jit:    {t2 - t1:.1f}s")
 
@@ -67,12 +71,29 @@ def main(size: int = 3072, anatomy: str = "thorax") -> None:
 
     out = {"size": size, "anatomy": anatomy, "psnr_db": round(psnr, 1),
            "bit_exact_pct": round(bit_exact * 100, 4), "max_abs_u8": max_abs}
+    if clahe:
+        # empty tiles (inside the relevance border) are NaN in BOTH
+        # implementations (0/0 CDF, reference-faithful): require identical
+        # NaN masks and compare the finite rest
+        ja, ga = np.asarray(res["clahe_graded"]), g_inter["clahe_graded"]
+        jn, gn = np.isnan(ja), np.isnan(ga)
+        out["clahe_nan_masks_equal"] = bool(np.array_equal(jn, gn))
+        out["clahe_max_abs_finite"] = float(
+            np.abs(np.where(jn | gn, 0.0, ja - ga)).max())
+    if clahe or linear:
+        variant = ("clahe" if clahe else "") + ("linear" if linear else "")
+        name = f"stress_golden_{size}_{variant}.json"
+    else:
+        name = "stress_golden_3072.json"
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "stress_golden_3072.json")
+        os.path.abspath(__file__))), "artifacts", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
-    main(*(int(a) if a.isdigit() else a for a in sys.argv[1:]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    main(*(int(a) if a.isdigit() else a for a in args),
+         clahe="--clahe" in flags, linear="--linear" in flags)
