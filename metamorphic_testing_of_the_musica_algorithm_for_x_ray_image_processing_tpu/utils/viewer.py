@@ -117,8 +117,11 @@ class ViewerState:
             rsh.render_gradation_curve_debug(
                 ghist, int(ghist[gmb]), gmb, gpx, gpy, t0, ta, t1))
         cnr = np.asarray(res["cnr"])
-        panels["cnr"] = _bmp_bytes(
-            _to_u8(cnr, max(float(cnr.max()), 1e-6), float(cnr.min())))
+        # guard scale > offset: a constant cnr map (any value, not just 0)
+        # would otherwise normalize 0/0 -> NaN -> undefined u8
+        cmn = float(cnr.min())
+        cmx = max(float(cnr.max()), cmn + 1e-6)
+        panels["cnr"] = _bmp_bytes(_to_u8(cnr, cmx, cmn))
         self.panels = panels
         self.stats = [
             ("input", self.raw_path),
@@ -198,19 +201,28 @@ def make_handler(state: ViewerState):
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            if self.path == "/execute":
-                state.execute()
-            elif self.path == "/flip":
-                with state.lock:
-                    if state.outputs:
-                        state.current = (state.current + 1) % len(state.outputs)
-            elif self.path == "/debug":
-                index = state.debug_dump()
-                self._send(200, json.dumps({"report": index}).encode(),
-                           "application/json")
-                return
-            else:
-                self._send(404, b"not found", "text/plain")
+            # a failing execute/debug (e.g. the input raw replaced by a
+            # truncated file mid-copy) must surface as a 500 with the
+            # message, not a dropped connection
+            try:
+                if self.path == "/execute":
+                    state.execute()
+                elif self.path == "/flip":
+                    with state.lock:
+                        if state.outputs:
+                            state.current = (
+                                state.current + 1) % len(state.outputs)
+                elif self.path == "/debug":
+                    index = state.debug_dump()
+                    self._send(200, json.dumps({"report": index}).encode(),
+                               "application/json")
+                    return
+                else:
+                    self._send(404, b"not found", "text/plain")
+                    return
+            except Exception as e:  # noqa: BLE001
+                self._send(500, f"{type(e).__name__}: {e}".encode(),
+                           "text/plain")
                 return
             self.send_response(303)
             self.send_header("Location", "/")

@@ -37,22 +37,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts", "exp_apply_rank3.json")
 
 
-def marginal_ms(fn, args, k=25, reps=6):
-    np.asarray(fn(*args))
-
-    def run(n):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n):
-                out = fn(*args)
-            np.asarray(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, tk = run(1), run(k)
-    return max(tk - t1, 1e-9) / (k - 1) * 1e3
+from _timing import marginal_ms  # noqa: E402
 
 
 def main():

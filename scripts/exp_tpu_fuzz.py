@@ -59,11 +59,20 @@ def psnr(a, b):
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)
+    # a CPU smoke run must not clobber the committed ON-CHIP capture
+    out = OUT if dev.platform == "tpu" else OUT.replace(
+        ".json", f"_{dev.platform}.json")
     results = {"device": str(dev)}
     for name, kw in CASES:
         cfg = MusicaConfig(**kw)
         img = synthetic_radiograph(cfg.image_size, "thorax")
-        res = musica.musica_forward(jnp.asarray(img), cfg, "auto")
+        # one jitted whole-pipeline program per case (what production runs:
+        # kernel selection AND whole-program Mosaic/XLA interactions); only
+        # the compared outputs are kept so XLA DCEs the rest
+        keys = ("out_u8", "clahe_graded") if cfg.enable_clahe else ("out_u8",)
+        fwd = jax.jit(lambda im, c=cfg, ks=keys: {
+            k: musica.musica_forward(im, c, "auto")[k] for k in ks})
+        res = jax.device_get(fwd(jnp.asarray(img)))
         j_out = np.asarray(res["out_u8"])  # fences the dispatch
         g_out, g_inter = golden.process(img, cfg, return_intermediates=True)
         p = psnr(j_out, g_out)
@@ -88,9 +97,9 @@ def main():
         print(f"{name:18s} PSNR={p:6.1f} dB  bit-exact={eq:.4%}  "
               f"{'OK' if ok else 'FAIL'}", flush=True)
         assert ok, (name, rec)
-        with open(OUT, "w") as f:
+        with open(out, "w") as f:
             json.dump(results, f, indent=1)
-    print(f"-> {OUT}", flush=True)
+    print(f"-> {out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -57,7 +57,14 @@ def main(size: int = 3072, anatomy: str = "thorax",
     t1 = time.time()
     print(f"golden: {t1 - t0:.1f}s")
 
-    res = musica.musica_forward(img, cfg)
+    # the WHOLE pipeline as one jitted program -- the thing production runs
+    # (whole-program fusion/FMA-contraction effects are exactly what this
+    # stress exists to catch); only the compared outputs are returned so
+    # XLA dead-code-eliminates the rest
+    keys = ("out_u8", "clahe_graded") if clahe else ("out_u8",)
+    fwd = jax.jit(lambda im: {k: musica.musica_forward(im, cfg)[k]
+                              for k in keys})
+    res = jax.device_get(fwd(img))
     j = np.asarray(res["out_u8"])
     t2 = time.time()
     print(f"jit:    {t2 - t1:.1f}s")
@@ -80,11 +87,10 @@ def main(size: int = 3072, anatomy: str = "thorax",
         out["clahe_nan_masks_equal"] = bool(np.array_equal(jn, gn))
         out["clahe_max_abs_finite"] = float(
             np.abs(np.where(jn | gn, 0.0, ja - ga)).max())
-    if clahe or linear:
-        variant = ("clahe" if clahe else "") + ("linear" if linear else "")
-        name = f"stress_golden_{size}_{variant}.json"
-    else:
-        name = "stress_golden_3072.json"
+    # size-aware name on EVERY path: a reduced-size smoke run must never
+    # clobber the committed full-size artifact
+    variant = ("clahe" if clahe else "") + ("linear" if linear else "")
+    name = f"stress_golden_{size}{'_' + variant if variant else ''}.json"
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", name)

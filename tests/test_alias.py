@@ -26,6 +26,23 @@ def test_alias_exports_and_identity():
     assert alias_musica is musica
 
 
+def test_alias_covers_every_submodule():
+    """The shim discovers submodules by walking the package (no hand list):
+    EVERY canonical module must have its musica_tpu.* alias registered, so
+    adding a new module can't silently reintroduce the duplicate-module bug."""
+    import pkgutil
+
+    import musica_tpu  # noqa: F401
+    import metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu as pkg
+
+    walked = list(pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."))
+    assert len(walked) > 20  # sanity: the walk actually found the tree
+    for info in walked:
+        alias = "musica_tpu." + info.name[len(pkg.__name__) + 1:]
+        assert alias in sys.modules, f"missing alias {alias}"
+        assert sys.modules[alias] is sys.modules[info.name], alias
+
+
 def test_alias_submodule_import_fresh_process_no_duplicate():
     """In a process where NOTHING was pre-imported, a dotted import through
     the alias must still land on the canonical module object."""

@@ -69,8 +69,15 @@ def test_nondefault_config_matches_golden(kw):
     cfg = MusicaConfig(**kw)
     img = synthetic_radiograph(cfg.image_size, "pelvis")
 
+    # one jitted whole-pipeline program (what production runs -- eager
+    # per-op dispatch would miss whole-program fusion/contraction effects);
+    # only the compared outputs are returned so XLA DCEs the rest
+    import jax
+
     want = ("out_u8", "clahe_graded") if cfg.enable_clahe else ("out_u8",)
-    res = musica.musica_forward(img, cfg)
+    fwd = jax.jit(lambda im: {k: musica.musica_forward(im, cfg)[k]
+                              for k in want})
+    res = jax.device_get(fwd(img))
     j_out = np.asarray(res["out_u8"])
 
     g_out, g_inter = golden.process(img, cfg, return_intermediates=True)
