@@ -84,9 +84,17 @@ def main(size: int = 3072, anatomy: str = "thorax",
         # NaN masks and compare the finite rest
         ja, ga = np.asarray(res["clahe_graded"]), g_inter["clahe_graded"]
         jn, gn = np.isnan(ja), np.isnan(ga)
+        cd = np.abs(np.where(jn | gn, 0.0, ja - ga))
         out["clahe_nan_masks_equal"] = bool(np.array_equal(jn, gn))
-        out["clahe_max_abs_finite"] = float(
-            np.abs(np.where(jn | gn, 0.0, ja - ga)).max())
+        # max-abs alone is misleading here: CLAHE quantizes recon with a
+        # hard int(x*255+0.5), so the f32 recon tail (~1e-3..6e-3 at the
+        # worst pixels of a 12-level f32 pyramid vs the f64 oracle) flips
+        # a bin on knife-edge pixels and jumps one tile-CDF step -- a
+        # program-/data-dependent outlier on a handful of pixels, not a
+        # systematic LUT error.  Record the tail counts for context.
+        out["clahe_max_abs_finite"] = float(cd.max())
+        out["clahe_px_gt_1e2"] = int((cd > 1e-2).sum())
+        out["clahe_px_gt_1e1"] = int((cd > 1e-1).sum())
     # size-aware name on EVERY path: a reduced-size smoke run must never
     # clobber the committed full-size artifact
     variant = ("clahe" if clahe else "") + ("linear" if linear else "")
