@@ -146,7 +146,8 @@ def test_odd_size_pipeline_matches_golden():
     assert np.mean(j_out == g_out) > 0.98
 
 
-@pytest.mark.parametrize("variant", ["default", "clahe", "linear"])
+@pytest.mark.parametrize("variant",
+                         ["default", "clahe", "linear", "clahe_linear"])
 def test_timed_process_matches_untimed(phantom_256, variant):
     """timed_process must run the CONFIGURED variant (the reference's
     MEASURE_PROCESS fences the real pass, src/vk_processing.cpp:2580-2596):
@@ -157,14 +158,14 @@ def test_timed_process_matches_untimed(phantom_256, variant):
     import jax
 
     cfg = MusicaConfig(image_size=256,
-                       enable_clahe=(variant == "clahe"),
-                       grad_with_linear_image=(variant == "linear"))
+                       enable_clahe=("clahe" in variant),
+                       grad_with_linear_image=("linear" in variant))
     res = jax.jit(lambda im: musica.musica_forward(im, cfg))(
         jnp.asarray(phantom_256))
     timed_out, times, extras = musica.timed_process(
         phantom_256, cfg, want_extras=True)
     ref_out = np.asarray(res["out_u8"])
-    if variant == "linear":
+    if "linear" in variant:
         # recon*recon crosses a jit-partition boundary in the timed path:
         # XLA's FMA contraction differs, flipping u8 truncation on isolated
         # pixels (observed 1/242064) -- same class as docs/QUIRKS.md #29
@@ -175,7 +176,7 @@ def test_timed_process_matches_untimed(phantom_256, variant):
         np.testing.assert_array_equal(timed_out, ref_out)
     assert set(times) == {"norm", "red", "anly", "aply", "exp", "grad", "tot"}
     assert all(v >= 0 for v in times.values())
-    if variant == "clahe":
+    if "clahe" in variant:
         # the CDF-blend accumulation order differs across jit partition
         # boundaries (fusion choice): 1-2 ulp of the f32 LUT, not semantic
         np.testing.assert_allclose(extras["clahe_graded"],
