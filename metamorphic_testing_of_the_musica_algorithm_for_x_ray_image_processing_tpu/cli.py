@@ -63,7 +63,8 @@ def cmd_process(args) -> int:
 
     cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks,
                        enable_clahe=args.clahe,
-                       grad_with_linear_image=args.linear_gradation)
+                       grad_with_linear_image=args.linear_gradation,
+                       storage="bfloat16" if args.bf16 else "float32")
     raw = uio.load_raw(args.input, args.size, transpose=not args.no_transpose)
     if args.save_last_raw:
         # saveLastRawImage analogue (src/vk_processing.cpp:2811-2815)
@@ -141,7 +142,8 @@ def cmd_batch(args) -> int:
     if not files:
         print(f"no files match {args.pattern}", file=sys.stderr)
         return 1
-    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks)
+    cfg = MusicaConfig(image_size=args.size, quirks=not args.no_quirks,
+                       storage="bfloat16" if args.bf16 else "float32")
     import os
     os.makedirs(args.out_dir, exist_ok=True)
     B = max(1, args.batch)
@@ -280,6 +282,12 @@ def main(argv=None) -> int:
                         "processes (~/.cache/musica_tpu_aot or "
                         "$MUSICA_AOT_CACHE); cold-start compile drops from "
                         "minutes to seconds on a cache hit")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 storage for the large stage images (fast "
+                        "mode, config.py storage=\"bfloat16\"; arithmetic-"
+                        "critical stages stay f32 -- output differs from "
+                        "the parity mode by <=1 u8 LSB outside isolated "
+                        "out-of-curve knife-edge pixels)")
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("batch", help="process a glob of raw files")
@@ -294,6 +302,9 @@ def main(argv=None) -> int:
                    help="load/save the serialized batch executable "
                         "(utils/aot_cache.py) to skip the cold-start "
                         "compile in fresh processes")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 storage for the large stage images (fast "
+                        "mode; see `process --bf16`)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("report", help="HTML gallery of all pipeline stages "

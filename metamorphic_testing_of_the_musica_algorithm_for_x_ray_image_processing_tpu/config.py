@@ -97,6 +97,20 @@ class MusicaConfig:
     clahe_bins: int = 256
     clahe_clip_limit: float = 1.0 / 32.0
 
+    # --- storage precision (TPU-native fast mode; no reference analogue) ---
+    # "float32" (default) is the reference-parity mode: every stage image is
+    # f32 and the output is bit-exact vs the golden model.  "bfloat16" stores
+    # the large stage images -- the normalized input, pyramid bandpasses/
+    # lowpasses and the reconstruction -- as bf16, halving the HBM traffic of
+    # the memory-bound ladders (whose 5-tap stencils then run in bf16), while
+    # the precision-critical analysis path stays f32: sdev, histograms, CNR,
+    # curve synthesis and every getY chain upcast at their inputs, and the
+    # upcasts fuse into the consuming stencils (the Pallas histogram kernels
+    # upcast in-VMEM), so no extra full-image passes are materialized.
+    # Accuracy cost is bounded and measured (docs/PERFORMANCE.md, tests/
+    # test_bf16.py): the u8 output stays within a few LSB of the f32 path.
+    storage: str = "float32"
+
     # --- fidelity mode ---
     # quirks=True reproduces the reference's GPU artifacts exactly:
     #   * max/min reduce truncate to integers each step (uvec4 store,
@@ -117,6 +131,7 @@ class MusicaConfig:
     def __post_init__(self):
         assert self.image_size >= 4, "image_size too small"
         assert self.cnr_level >= 1
+        assert self.storage in ("float32", "bfloat16"), self.storage
 
     # ------------------------------------------------------------------
     # derived schedules

@@ -129,13 +129,21 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     """
     L = cfg.pyramid_levels
     inter: Dict[str, object] = {}
+    # storage dtype of the large stage images (config.py: "bfloat16" halves
+    # the HBM traffic of the memory-bound ladders; arithmetic stays f32 --
+    # every .astype below is an identity no-op in the default f32 mode)
+    sd = jnp.bfloat16 if cfg.storage == "bfloat16" else F32
 
     # ---- phase 2: normalize -------------------------------------------------
     normalized, vmax, vmin = normalize.normalize_from_u16(img_u16, cfg.quirks)
+    normalized = normalized.astype(sd)
 
     # ---- phase 3: pyramid reduce -------------------------------------------
     # parity-plane ladder (ops/pyramid.py::reduce_ladder): bit-identical to
-    # smooth_downsample + upsample_smooth per level, unit-stride stencils
+    # smooth_downsample + upsample_smooth per level, unit-stride stencils.
+    # In bf16 mode the ladder's 5-tap stencils run in bf16 (the ops follow
+    # the input dtype); the band/low decomposition still reconstructs the
+    # same image up to bf16 rounding because band absorbs the lowpass error.
     bandpass, downs = pyramid.reduce_ladder(normalized, L)
 
     # ---- phase 4: analysis --------------------------------------------------
@@ -144,15 +152,17 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
         # opt-in combined sdev+hist kernel path (per level)
         max_bins = {}
         for i in cfg.analysis_levels:
-            sd, h = stats.sdev_and_noise_histogram(bandpass[i], cfg,
-                                                   hist_method)
-            sdevs[i] = sd
+            sdv, h = stats.sdev_and_noise_histogram(
+                bandpass[i].astype(F32), cfg, hist_method)
+            sdevs[i] = sdv
             _, max_bins[i] = stats.histogram_max(h)
             if want_intermediates:
                 inter[f"noise_hist_{i}"] = h
     else:
         for i in cfg.analysis_levels:
-            sdevs[i] = stats.img_sdev(bandpass[i])
+            # f32 sdev whatever the storage dtype: the upcast fuses into the
+            # 5x5 RMS stencil, so the HBM read stays half-width in bf16 mode
+            sdevs[i] = stats.img_sdev(bandpass[i].astype(F32))
         hists, max_bins = stats.analysis_noise_hists(sdevs, cfg, hist_method)
         if want_intermediates:
             for i in cfg.analysis_levels:
@@ -169,25 +179,28 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
 
     exp_bandpass = []
     rank3 = (_contrast_apply_rank3(bandpass, sdevs, curve_list, cfg)
-             if apply_method == "rank3" else None)
+             if apply_method == "rank3" and sd == F32 else None)
     for i in range(L):
         px, py = curve_list[i]
         if rank3 is not None and i in rank3:
             eb = rank3[i]
         elif i in sdevs:
-            eb = curves.contrast_curve_apply(bandpass[i], sdevs[i], px, py)
+            # f32 getY chain (VPU-bound); the bf16 upcast fuses into it
+            eb = curves.contrast_curve_apply(bandpass[i].astype(F32),
+                                             sdevs[i], px, py)
         else:
             # sdev is never computed for these levels in the reference (the
             # shader reads stale memory); the flat 2-point curve gives a
             # constant hcf gain for any sdev in [0, 1].
-            eb = bandpass[i] * jnp.float32(cfg.contrast_factors[i][1])
-        exp_bandpass.append(eb)
+            eb = bandpass[i].astype(F32) * jnp.float32(
+                cfg.contrast_factors[i][1])
+        exp_bandpass.append(eb.astype(sd))
 
     nr_bandpass: Dict[int, jnp.ndarray] = {}
     for lvl in range(cfg.cnr_level):
         lo_c, lo_f, hi_c, hi_f = cfg.noise_reduction_params[lvl]
         nr_bandpass[lvl] = noise.noise_reduction(
-            exp_bandpass[lvl], cnr, lo_c, lo_f, hi_c, hi_f, cfg)
+            exp_bandpass[lvl], cnr, lo_c, lo_f, hi_c, hi_f, cfg).astype(sd)
 
     # ---- phase 6: pyramid expand -------------------------------------------
     # Only levels < cnr_level - 1 consume the noise-reduced bandpass
@@ -209,11 +222,11 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     grad_input = recon * recon if cfg.grad_with_linear_image else recon
     if cfg.enable_clahe or want_intermediates:
         # the relevance image itself is needed downstream
-        relevant = noise.img_relevant(normalized, cnr, cfg)
+        relevant = noise.img_relevant(normalized.astype(F32), cnr, cfg)
         if cfg.enable_clahe:
             from ..ops import clahe as clahe_ops
-            clahe_graded = clahe_ops.clahe_grade(recon, relevant, cfg,
-                                                 hist_method)
+            clahe_graded = clahe_ops.clahe_grade(recon.astype(F32), relevant,
+                                                 cfg, hist_method)
         ghist = gradation.gradation_histogram(grad_input, relevant, cfg,
                                               hist_method)
     else:
@@ -228,10 +241,10 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     # flat ~0.3 ms at 3072^2 on v5e; scripts/exp_fusion3.py, ops/curves.py).
     m = cfg.out_margin
     out_u8 = curves.curve_apply_u8_adaptive(
-        gpx, gpy, grad_input[..., m:-m, m:-m])
+        gpx, gpy, grad_input[..., m:-m, m:-m].astype(F32))
     # full-res graded image: API/debug surface only -- XLA dead-code
     # eliminates it for callers that consume just out_u8
-    graded = curves.curve_get_y_adaptive(gpx, gpy, grad_input)
+    graded = curves.curve_get_y_adaptive(gpx, gpy, grad_input.astype(F32))
     result = {"graded": graded, "out_u8": out_u8, "recon": recon, "cnr": cnr}
     if cfg.enable_clahe:
         result["clahe_graded"] = clahe_graded
@@ -356,6 +369,7 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
     img = jnp.asarray(np.asarray(img_u16))
     cfg = cfg or MusicaConfig(image_size=img.shape[-1])
     L = cfg.pyramid_levels
+    sd = jnp.bfloat16 if cfg.storage == "bfloat16" else F32
     times = {}
 
     def fence(*arrays):
@@ -368,7 +382,7 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
         s = normalize.img_sqrt(im)
         return normalize.img_normalize(
             s, normalize.global_max(s, cfg.quirks),
-            normalize.global_min(s, cfg.quirks), cfg.quirks)
+            normalize.global_min(s, cfg.quirks), cfg.quirks).astype(sd)
 
     @partial(jax.jit, static_argnames=("cfg",))
     def phase_reduce(nrm, cfg=cfg):
@@ -378,8 +392,9 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
     def phase_analysis(bandpass, cfg=cfg, hm=hist_method):
         sdevs, max_bins = {}, {}
         for i in cfg.analysis_levels:
-            sd, h = stats.sdev_and_noise_histogram(bandpass[i], cfg, hm)
-            sdevs[i] = sd
+            sdv, h = stats.sdev_and_noise_histogram(
+                bandpass[i].astype(F32), cfg, hm)
+            sdevs[i] = sdv
             _, max_bins[i] = stats.histogram_max(h)
         return sdevs, max_bins
 
@@ -392,15 +407,16 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
             px, py = curves.contrast_curve(
                 max_bins.get(i, jnp.zeros((), jnp.int32)), lcf, hcf, cfg)
             if i in sdevs:
-                exp_bandpass.append(
-                    curves.contrast_curve_apply(bandpass[i], sdevs[i], px, py))
+                exp_bandpass.append(curves.contrast_curve_apply(
+                    bandpass[i].astype(F32), sdevs[i], px, py).astype(sd))
             else:
-                exp_bandpass.append(bandpass[i] * jnp.float32(hcf))
+                exp_bandpass.append(
+                    (bandpass[i].astype(F32) * jnp.float32(hcf)).astype(sd))
         nr = {}
         for lvl in range(cfg.cnr_level):
             lo_c, lo_f, hi_c, hi_f = cfg.noise_reduction_params[lvl]
-            nr[lvl] = noise.noise_reduction(exp_bandpass[lvl], cnr,
-                                            lo_c, lo_f, hi_c, hi_f, cfg)
+            nr[lvl] = noise.noise_reduction(exp_bandpass[lvl], cnr, lo_c,
+                                            lo_f, hi_c, hi_f, cfg).astype(sd)
         return cnr, exp_bandpass, nr
 
     @partial(jax.jit, static_argnames=("cfg",))
@@ -422,9 +438,9 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
         extras = {}
         if cfg.enable_clahe:
             from ..ops import clahe as clahe_ops
-            relevant = noise.img_relevant(nrm, cnr, cfg)
+            relevant = noise.img_relevant(nrm.astype(F32), cnr, cfg)
             extras["clahe_graded"] = clahe_ops.clahe_grade(
-                recon, relevant, cfg, hm)
+                recon.astype(F32), relevant, cfg, hm)
             ghist = gradation.gradation_histogram(gi, relevant, cfg, hm)
         else:
             ghist = gradation.gradation_histogram_fused_relevance(
@@ -432,7 +448,7 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
         gpx, gpy, _ = gradation.gradation_curve(ghist, cfg)
         m = cfg.out_margin
         return curves.curve_apply_u8_adaptive(
-            gpx, gpy, gi[..., m:-m, m:-m]), extras
+            gpx, gpy, gi[..., m:-m, m:-m].astype(F32)), extras
 
     t0 = time.perf_counter()
     nrm = phase_norm(img)

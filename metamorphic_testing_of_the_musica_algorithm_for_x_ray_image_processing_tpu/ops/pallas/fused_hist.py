@@ -383,8 +383,8 @@ def _grad_kernel(v_ref, r_ref, out_ref, *, C, F, n_bins, tile):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    v = v_ref[:]          # [R, cov] -- R/16 full tile rows
-    rel = r_ref[:]
+    v = v_ref[:].astype(F32)  # [R, cov] -- R/16 full tile rows; the input
+    rel = r_ref[:].astype(F32)  # may be bf16 (storage="bfloat16" mode)
     alive = _tile_alive(v, tile)
 
     bins = (v * F32(n_bins)).astype(I32)
@@ -413,8 +413,8 @@ def _grad_relevant_kernel(v_ref, norm_ref, wplane_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    v = v_ref[:]
-    norm = norm_ref[:]
+    v = v_ref[:].astype(F32)       # bf16 inputs upcast in-VMEM (the HBM
+    norm = norm_ref[:].astype(F32)  # read stays half-width in bf16 mode)
     rows, cov = v.shape
 
     # ---- relevance weight (precomputed plane + per-pixel tests) ----
