@@ -22,6 +22,12 @@ Reliability contract (round-3 postmortem: BENCH_r03.json rc=124, no line):
   at child interpreter start, inside jax init, or mid-transfer; the
   parent's subprocess timeout covers all three).  There is no unbounded
   path anywhere.
+* Per-child timeouts are CAPPED (round-4 postmortem, BENCH_r04.json
+  "stale": the first child got the whole remaining budget, so one hung
+  session consumed all 440 s and no fresh sample landed).  The first
+  child runs a quick single-image protocol under ~110 s; full-protocol
+  children are capped at ~170 s, so a hung session costs one attempt,
+  not the window.
 
 Methodology notes:
 * The axon TPU relay makes block_until_ready unreliable, so every
@@ -64,6 +70,18 @@ MAX_SAMPLES = int(os.environ.get("MUSICA_BENCH_SAMPLES", "6"))
 # A child with a warm AOT cache takes ~20-120 s; don't start one into a
 # window it can't finish unless we still have nothing at all.
 MIN_CHILD_WINDOW_S = 150.0
+# Per-child timeout cap (round-4 postmortem, BENCH_r04.json: the first
+# child was handed the ENTIRE remaining budget, so one hung tunnel burned
+# all 440 s and zero of 6 samples landed).  A warm-AOT full-protocol child
+# needs ~20-120 s; capping at ~170 s buys 2-3 independent attempts within
+# the same window when a session hangs.
+PER_CHILD_CAP_S = float(os.environ.get("MUSICA_BENCH_CHILD_CAP", "170"))
+# The FIRST child runs a quick single-image-only protocol (~40-90 s warm)
+# under a tighter cap, so some fresh sample lands early even if the later
+# full-protocol children hit slow sessions.  MUSICA_BENCH_QUICK_FIRST=0
+# disables it (every child then runs the full protocol).
+QUICK_CHILD_CAP_S = float(os.environ.get("MUSICA_BENCH_QUICK_CAP", "110"))
+QUICK_FIRST = os.environ.get("MUSICA_BENCH_QUICK_FIRST", "1") != "0"
 
 _T0 = time.time()
 _EMIT_LOCK = threading.Lock()
@@ -158,6 +176,7 @@ def measure() -> dict:
     from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.utils.aot_cache import cached_compile
 
     size = int(os.environ.get("MUSICA_BENCH_SIZE", "3072"))  # tests only
+    quick = bool(os.environ.get("MUSICA_BENCH_QUICK"))
     cfg = MusicaConfig(image_size=size)
     img = synthetic_radiograph(size, "thorax")
     x = jnp.asarray(img)
@@ -187,25 +206,28 @@ def measure() -> dict:
         lambda a: (musica.musica_forward(a, cfg)["out_u8"]
                    .astype(jnp.uint32).sum()),
         key_parts=("bench", cfg), example_args=(x,))
-    single_s = marginal_s(f, (x,), k=25)
+    single_s = marginal_s(f, (x,), k=12 if quick else 25,
+                          reps=3 if quick else 6)
     gpix_single = size * size / single_s / 1e9
 
     # Sustained throughput: the production batch path
     # (models/musica.py::process_batch_jit with its default interleave).
     # B=16 is the measured-best batch size at 3072 (3.619 ms/img vs 3.675
-    # at B=4, scripts/exp_interleave3.py round-4 on-chip).
+    # at B=4, scripts/exp_interleave3.py round-4 on-chip).  Skipped in the
+    # quick first-sample child (single-image protocol only).
     B = int(os.environ.get("MUSICA_BENCH_BATCH", "16"))
     gpix_batch = 0.0
-    try:
-        xb = jnp.stack([x] * B)
-        g = musica.DEFAULT_INTERLEAVE
-        fb = cached_compile(
-            lambda a: musica.batch_checksum(a, cfg, interleave=g),
-            key_parts=("bench_b", B, g, cfg), example_args=(xb,))
-        batch_s = marginal_s(fb, (xb,), k=6)
-        gpix_batch = size * size * B / batch_s / 1e9
-    except Exception:  # noqa: BLE001 - batch path is an optional bonus
-        pass
+    if not quick:
+        try:
+            xb = jnp.stack([x] * B)
+            g = musica.DEFAULT_INTERLEAVE
+            fb = cached_compile(
+                lambda a: musica.batch_checksum(a, cfg, interleave=g),
+                key_parts=("bench_b", B, g, cfg), example_args=(xb,))
+            batch_s = marginal_s(fb, (xb,), k=6)
+            gpix_batch = size * size * B / batch_s / 1e9
+        except Exception:  # noqa: BLE001 - batch path is an optional bonus
+            pass
 
     gpix = max(gpix_single, gpix_batch)
     return {
@@ -217,14 +239,17 @@ def measure() -> dict:
         "batch_gpix": round(gpix_batch, 4),
         "batch_size": B,
         "size": size,
+        "quick": quick,
         "platform": jax.devices()[0].platform,
     }
 
 
-def _run_child(timeout_s: float):
+def _run_child(timeout_s: float, quick: bool = False):
     """One bounded sample subprocess; returns a result dict or None."""
     env = dict(os.environ, MUSICA_BENCH_CHILD="1",
                MUSICA_BENCH_CHILD_ALARM=str(int(timeout_s)))
+    if quick:
+        env["MUSICA_BENCH_QUICK"] = "1"
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -250,18 +275,22 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
     results = []
-    for _ in range(MAX_SAMPLES):
+    for i in range(MAX_SAMPLES):
         remaining = _remaining()
         if remaining <= 30:
             break
         if results and remaining < MIN_CHILD_WINDOW_S:
             break
-        rec = _run_child(timeout_s=max(remaining, 60.0))
+        quick = (i == 0 and QUICK_FIRST)
+        cap = QUICK_CHILD_CAP_S if quick else PER_CHILD_CAP_S
+        rec = _run_child(timeout_s=min(cap, max(remaining, 60.0)),
+                         quick=quick)
         if rec is not None:
             results.append(rec)
         else:
             print("bench: sample child produced no result "
-                  f"(t={time.time() - _T0:.0f}s)", file=sys.stderr)
+                  f"(t={time.time() - _T0:.0f}s, quick={quick})",
+                  file=sys.stderr)
 
     if results:
         best = max(results, key=lambda r: r["value"])

@@ -283,11 +283,13 @@ def main(argv=None) -> int:
                         "$MUSICA_AOT_CACHE); cold-start compile drops from "
                         "minutes to seconds on a cache hit")
     p.add_argument("--bf16", action="store_true",
-                   help="bf16 storage for the large stage images (fast "
-                        "mode, config.py storage=\"bfloat16\"; arithmetic-"
-                        "critical stages stay f32 -- output differs from "
-                        "the parity mode by <=1 u8 LSB outside isolated "
-                        "out-of-curve knife-edge pixels)")
+                   help="bf16 storage for the pyramid band streams (fast "
+                        "mode, config.py storage=\"bfloat16\"; level inputs "
+                        "and the analysis path stay f32 -- output tracks "
+                        "the parity mode within ~1 LSB on most pixels, up "
+                        "to ~a dozen LSB where the data-dependent tone "
+                        "curve's knots shift a bin; intended for images "
+                        ">= 512 px, see tests/test_bf16.py)")
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("batch", help="process a glob of raw files")
@@ -303,7 +305,7 @@ def main(argv=None) -> int:
                         "(utils/aot_cache.py) to skip the cold-start "
                         "compile in fresh processes")
     p.add_argument("--bf16", action="store_true",
-                   help="bf16 storage for the large stage images (fast "
+                   help="bf16 storage for the pyramid band streams (fast "
                         "mode; see `process --bf16`)")
     p.set_defaults(fn=cmd_batch)
 

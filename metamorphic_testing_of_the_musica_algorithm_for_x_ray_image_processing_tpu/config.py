@@ -100,15 +100,21 @@ class MusicaConfig:
     # --- storage precision (TPU-native fast mode; no reference analogue) ---
     # "float32" (default) is the reference-parity mode: every stage image is
     # f32 and the output is bit-exact vs the golden model.  "bfloat16" stores
-    # the large stage images -- the normalized input, pyramid bandpasses/
-    # lowpasses and the reconstruction -- as bf16, halving the HBM traffic of
-    # the memory-bound ladders (whose 5-tap stencils then run in bf16), while
-    # the precision-critical analysis path stays f32: sdev, histograms, CNR,
-    # curve synthesis and every getY chain upcast at their inputs, and the
-    # upcasts fuse into the consuming stencils (the Pallas histogram kernels
-    # upcast in-VMEM), so no extra full-image passes are materialized.
-    # Accuracy cost is bounded and measured (docs/PERFORMANCE.md, tests/
-    # test_bf16.py): the u8 output stays within a few LSB of the f32 path.
+    # the BAND streams -- pyramid bandpasses, contrast-applied bandpasses and
+    # noise-reduced bandpasses -- as bf16, halving their HBM traffic; the
+    # casts fuse into producers/consumers so no extra full-image passes are
+    # materialized.  The level inputs (normalized, downs) and the recon
+    # accumulation deliberately stay f32: a band is `in - low`, a
+    # near-cancelling difference, so quantizing the INPUTS passes high-
+    # frequency quantization noise (~bf16 ulp of 0.5 = 2e-3) straight into
+    # fine-level bands of magnitude ~1e-2, inflating the noise analysis
+    # (level-3 sdev +20%, CNR across the relevance cliff, tone curve shifted
+    # by tens of u8 LSB on some anatomies -- the measured failure of the
+    # round-4 full-bf16-ladder design, docs/ROUND5.md).  Rounding the
+    # computed band instead is relative to the band (~0.4%), benign for the
+    # analysis and the reconstruction.  Accuracy vs the f32 parity mode is
+    # measured in tests/test_bf16.py (all six anatomies) and on chip in
+    # artifacts/exp_bf16.json + docs/PERFORMANCE.md "bf16 storage".
     storage: str = "float32"
 
     # --- fidelity mode ---

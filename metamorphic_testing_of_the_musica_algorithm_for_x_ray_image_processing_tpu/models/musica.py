@@ -125,26 +125,41 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
 
     ``apply_method="rank3"`` runs the analysis levels' contrast applies as
     one batched tile program (bit-identical; see _contrast_apply_rank3) --
-    opt-in pending the on-chip A/B (scripts/exp_apply_rank3.py).
+    opt-in pending the on-chip A/B (scripts/exp_apply_rank3.py).  In bf16
+    storage mode rank3 silently falls back to the per-level path: the tile
+    gather/scatter would force an extra full-image bf16<->f32 relayout that
+    defeats the mode's HBM purpose, so the bypass is intentional.
     """
     L = cfg.pyramid_levels
     inter: Dict[str, object] = {}
-    # storage dtype of the large stage images (config.py: "bfloat16" halves
-    # the HBM traffic of the memory-bound ladders; arithmetic stays f32 --
-    # every .astype below is an identity no-op in the default f32 mode)
+    # Storage dtype of the BAND streams (config.py "bfloat16"): bandpass,
+    # exp_bandpass and nr_bandpass are stored bf16; every .astype below is
+    # an identity no-op in the default f32 mode.
+    #
+    # Why only the band streams: a band is `in - low`, a near-cancelling
+    # difference of two ~0.5-magnitude images whose own magnitude is ~0.01
+    # at fine levels.  If the LEVEL INPUTS are bf16-quantized (the round-4
+    # design), the quantization noise q (~ulp(0.5) = 2e-3, high-frequency)
+    # passes straight into the band: band' = band + highpass(q).  The noise
+    # ANALYSIS then measures the quantization instead of the image -- the
+    # level-3 sdev inflates ~20%, CNR crosses the relevance cliff at 256,
+    # and the data-dependent gradation curve shifts by tens of u8 LSB on
+    # some anatomies.  Rounding the COMPUTED band to bf16 instead is an
+    # error RELATIVE to the band (~0.4%), benign for sdev/histograms/CNR
+    # and for reconstruction.  So: normalized, downs and the recon
+    # accumulation stay f32; bands are written/read half-width.
     sd = jnp.bfloat16 if cfg.storage == "bfloat16" else F32
 
     # ---- phase 2: normalize -------------------------------------------------
     normalized, vmax, vmin = normalize.normalize_from_u16(img_u16, cfg.quirks)
-    normalized = normalized.astype(sd)
 
     # ---- phase 3: pyramid reduce -------------------------------------------
     # parity-plane ladder (ops/pyramid.py::reduce_ladder): bit-identical to
-    # smooth_downsample + upsample_smooth per level, unit-stride stencils.
-    # In bf16 mode the ladder's 5-tap stencils run in bf16 (the ops follow
-    # the input dtype); the band/low decomposition still reconstructs the
-    # same image up to bf16 rounding because band absorbs the lowpass error.
+    # smooth_downsample + upsample_smooth per level, unit-stride stencils,
+    # f32 arithmetic.  The bf16 band cast fuses into the ladder's band
+    # producer, so the band WRITE is half-width without an extra pass.
     bandpass, downs = pyramid.reduce_ladder(normalized, L)
+    bandpass = [b.astype(sd) for b in bandpass]
 
     # ---- phase 4: analysis --------------------------------------------------
     sdevs: Dict[int, jnp.ndarray] = {}
@@ -206,12 +221,18 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     # Only levels < cnr_level - 1 consume the noise-reduced bandpass
     # (src/vk_processing.cpp:1043-1049); level cnr_level-1's NR image is
     # computed but unused, mirrored here for the debug surface only.
+    #
+    # The recon accumulation stays f32 in bf16 mode (downs are f32, bands
+    # upcast at the addition): the gradation histogram (1024 bins over
+    # [0, 1]) reads recon, and a bf16 recon would be quantized to ~2-bin
+    # spacing in [0.5, 1) (bf16 ulp 2^-9 vs bin width 2^-10) -- a comb
+    # histogram that derails gradation_curve's t0/t1 threshold walks.
     recon = downs[L - 1]
     for i in range(L):
         lvl = L - 1 - i
         low = pyramid.upsample_smooth(recon, bandpass[lvl].shape[-1])
         band = nr_bandpass[lvl] if lvl < cfg.cnr_level - 1 else exp_bandpass[lvl]
-        recon = low + band
+        recon = low + band.astype(F32)
         if want_intermediates:
             inter[f"exp_lowpass_{i}"] = low
 
@@ -222,10 +243,10 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     grad_input = recon * recon if cfg.grad_with_linear_image else recon
     if cfg.enable_clahe or want_intermediates:
         # the relevance image itself is needed downstream
-        relevant = noise.img_relevant(normalized.astype(F32), cnr, cfg)
+        relevant = noise.img_relevant(normalized, cnr, cfg)
         if cfg.enable_clahe:
             from ..ops import clahe as clahe_ops
-            clahe_graded = clahe_ops.clahe_grade(recon.astype(F32), relevant,
+            clahe_graded = clahe_ops.clahe_grade(recon, relevant,
                                                  cfg, hist_method)
         ghist = gradation.gradation_histogram(grad_input, relevant, cfg,
                                               hist_method)
@@ -262,8 +283,8 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
             inter[f"red_bandpass_{i}"] = b
         for i, d in enumerate(downs):
             inter[f"downsampled_{i}"] = d
-        for i, sd in sdevs.items():
-            inter[f"sdev_{i}"] = sd
+        for i, sdv in sdevs.items():
+            inter[f"sdev_{i}"] = sdv
         for i, mb in max_bins.items():
             inter[f"noise_max_bin_{i}"] = mb
         for i, eb in enumerate(exp_bandpass):
@@ -382,11 +403,13 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
         s = normalize.img_sqrt(im)
         return normalize.img_normalize(
             s, normalize.global_max(s, cfg.quirks),
-            normalize.global_min(s, cfg.quirks), cfg.quirks).astype(sd)
+            normalize.global_min(s, cfg.quirks), cfg.quirks)
 
     @partial(jax.jit, static_argnames=("cfg",))
     def phase_reduce(nrm, cfg=cfg):
-        return pyramid.reduce_ladder(nrm, cfg.pyramid_levels)
+        # f32 ladder, bf16 band storage (musica_forward's phase-3 bf16 note)
+        bandpass, downs = pyramid.reduce_ladder(nrm, cfg.pyramid_levels)
+        return [b.astype(sd) for b in bandpass], downs
 
     @partial(jax.jit, static_argnames=("cfg", "hm"))
     def phase_analysis(bandpass, cfg=cfg, hm=hist_method):
@@ -421,12 +444,14 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
 
     @partial(jax.jit, static_argnames=("cfg",))
     def phase_expand(downs, exp_bandpass, nr, cfg=cfg):
+        # f32 recon accumulation, bands upcast at the addition (see
+        # musica_forward's phase-6 bf16 note)
         recon = downs[cfg.pyramid_levels - 1]
         for i in range(cfg.pyramid_levels):
             lvl = cfg.pyramid_levels - 1 - i
             low = pyramid.upsample_smooth(recon, exp_bandpass[lvl].shape[-1])
             band = nr[lvl] if lvl < cfg.cnr_level - 1 else exp_bandpass[lvl]
-            recon = low + band
+            recon = low + band.astype(F32)
         return recon
 
     @partial(jax.jit, static_argnames=("cfg", "hm"))
@@ -438,9 +463,9 @@ def timed_process(img_u16, cfg: Optional[MusicaConfig] = None,
         extras = {}
         if cfg.enable_clahe:
             from ..ops import clahe as clahe_ops
-            relevant = noise.img_relevant(nrm.astype(F32), cnr, cfg)
+            relevant = noise.img_relevant(nrm, cnr, cfg)
             extras["clahe_graded"] = clahe_ops.clahe_grade(
-                recon.astype(F32), relevant, cfg, hm)
+                recon, relevant, cfg, hm)
             ghist = gradation.gradation_histogram(gi, relevant, cfg, hm)
         else:
             ghist = gradation.gradation_histogram_fused_relevance(

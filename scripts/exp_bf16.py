@@ -87,9 +87,14 @@ def main():
     fb16 = cached_compile(
         lambda a: musica.batch_checksum(a, cfg16, interleave=G),
         key_parts=("bench_b", B, G, cfg16), example_args=(xb,), verbose=True)
+    f116 = cached_compile(
+        lambda a: (musica.musica_forward(a, cfg16)["out_u8"]
+                   .astype(jnp.uint32).sum()),
+        key_parts=("bench", cfg16), example_args=(imgs[0],), verbose=True)
 
     order = [("f32_batch", fb32, xb, B), ("bf16_batch", fb16, xb, B),
              ("f32_single", f132, imgs[0], 1),
+             ("bf16_single", f116, imgs[0], 1),
              ("f32_batch_rerun", fb32, xb, B)]
     for name, fn, arg, n in order:
         ms = marginal_ms(fn, (arg,), k=3 if n > 1 else 25) / n

@@ -60,7 +60,8 @@ def test_bench_fresh_sample_path_cpu_reduced_size():
         before = f.read()
     p = _run_bench({"MUSICA_BENCH_SAMPLES": "1",
                     "MUSICA_BENCH_SIZE": "128",
-                    "MUSICA_BENCH_BATCH": "4"}, timeout=420)
+                    "MUSICA_BENCH_BATCH": "4",
+                    "MUSICA_BENCH_QUICK_FIRST": "0"}, timeout=420)
     assert p.returncode == 0, p.stderr[-800:]
     rec = _parse_single_json_line(p.stdout)
     assert rec.get("stale") is None, rec
@@ -69,8 +70,23 @@ def test_bench_fresh_sample_path_cpu_reduced_size():
     assert rec["platform"] == "cpu"
     assert rec["size"] == 128
     assert rec["samples"] == 1
+    assert rec["batch_gpix"] > 0, "full-protocol child must run the batch path"
     with open(artifact) as f:
         assert f.read() == before, "reduced-size CPU run polluted last-good"
+
+
+def test_bench_quick_first_child_skips_batch():
+    """The round-5 quick first sample: a single child with quick-first on
+    must land a fresh (un-stale) single-image measurement with the batch
+    leg skipped."""
+    p = _run_bench({"MUSICA_BENCH_SAMPLES": "1",
+                    "MUSICA_BENCH_SIZE": "128"}, timeout=420)
+    assert p.returncode == 0, p.stderr[-800:]
+    rec = _parse_single_json_line(p.stdout)
+    assert rec.get("stale") is None, rec
+    assert rec["quick"] is True
+    assert rec["batch_gpix"] == 0.0
+    assert rec["value"] > 0
 
 
 def test_bench_last_good_artifact_schema():

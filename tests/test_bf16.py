@@ -1,18 +1,37 @@
 """bf16 storage mode (config.py ``storage="bfloat16"``): the TPU-native fast
-mode stores the large stage images (normalized input, pyramid bandpasses/
-lowpasses, reconstruction) as bf16 while the analysis path (sdev, histograms,
-CNR, curve synthesis, getY chains) stays f32.
+mode stores the BAND streams (pyramid bandpasses, contrast-applied and
+noise-reduced bandpasses) as bf16 while the level inputs, recon accumulation
+and the whole analysis path stay f32.
+
+Why only bands (the round-5 redesign): the round-4 design stored the level
+inputs bf16 too, and their quantization noise (~ulp(0.5) = 2e-3, high
+frequency) passed straight into the near-cancelling `in - low` bandpasses --
+at 3072 the noise ANALYSIS then measured the quantization instead of the
+image (level-3 sdev +20%, CNR across the relevance cliff at 256, tone curve
+shifted by tens of LSB; scripts/exp_bf16.py failed its own <=1-LSB assertion
+with 988k knife pixels on the thorax phantom).  Rounding the computed band
+is an error relative to the band (~0.4%) and is benign.
 
 The mode has no reference analogue; the contract tested here is its
-*distance to the f32 parity mode*, measured at 256 on CPU (scripts/
-exp_bf16.py validates the same profile at 3072 on chip):
+*distance to the f32 parity mode* (scripts/exp_bf16.py validates the same
+profile at 3072 on chip):
 
-* the overwhelming majority of output pixels are bit-identical;
-* every remaining pixel is within 1 u8 LSB, EXCEPT isolated out-of-curve
-  knife-edge pixels: the reference's getY returns 0 for x beyond the last
-  curve point (the quirk class of docs/QUIRKS.md #29), and a pixel whose
-  f32 value sits within one bf16 ulp of that edge can land on the other
-  side, flipping 0 <-> ~255.  Those are bounded to a tiny fraction.
+* the overwhelming majority of output pixels are bit-identical or within
+  1 u8 LSB;
+* a small fraction can shift by up to ~a dozen LSB when the data-dependent
+  gradation curve's histogram knots move by a bin (the curve fit quantizes
+  at 1/1024 granularity, so a ~1e-4 recon difference can shift t0/ta/t1
+  slightly);
+* isolated out-of-curve knife-edge pixels flip full scale: the reference's
+  getY returns 0 for x beyond the last curve point (the quirk class of
+  docs/QUIRKS.md #29), and a pixel within one rounding of that edge can
+  land on the other side.  Bounded to a tiny fraction at sizes >= 512.
+
+Below ~512 px the 100-px relevance border leaves so few gradation-histogram
+samples that the reference's t0/t1 threshold walks become metastable: a
+single count difference can move t0 by hundreds of bins (head/hand at 256).
+That is a property of the algorithm's curve fit on sparse histograms, not of
+the storage mode; the supported regime for bf16 mode is >= 512.
 """
 
 import numpy as np
@@ -84,6 +103,28 @@ def test_bf16_timed_process_matches_untimed(img):
     assert float(knife.mean()) <= 1e-3
     assert ((d <= 1) | knife).all()
     assert set(times) == {"norm", "red", "anly", "aply", "exp", "grad", "tot"}
+
+
+@pytest.mark.parametrize("anatomy", ["head", "thorax", "hand"])
+def test_bf16_contract_512(anatomy):
+    """The supported-regime contract at 512 across the anatomies that were
+    the round-4 design's failure cases (head: catastrophic t0 flip; thorax/
+    hand: curve-knot shift).  Measured with the hybrid design: knife
+    fraction <= 1e-4 (out-of-curve boundary class only), inliers within a
+    dozen LSB (curve-knot quantization), PSNR >= 40 dB."""
+    cfg32 = MusicaConfig(image_size=512)
+    im = jnp.asarray(synthetic_radiograph(512, anatomy))
+    o32 = np.asarray(musica.process_jit(im, cfg32)).astype(np.int32)
+    o16 = np.asarray(musica.process_jit(im, cfg32.with_(storage="bfloat16"))
+                     ).astype(np.int32)
+    d = np.abs(o32 - o16)
+    knife = d > 32
+    assert float(knife.mean()) <= 3e-4, knife.mean()
+    inlier = d[~knife].astype(np.float64)
+    assert inlier.max() <= 16, inlier.max()
+    mse = (inlier ** 2).mean()
+    psnr = np.inf if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr >= 38.0, psnr
 
 
 def test_storage_validation():

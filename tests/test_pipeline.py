@@ -106,6 +106,32 @@ def test_batch_interleave_bit_identical(phantom_256, phantom_512, rng):
     np.testing.assert_array_equal(odd, seq[:3])
 
 
+def test_batch_checksum_matches_production_batch(phantom_256, rng):
+    """The bench fence (models/musica.py::batch_checksum) duplicates
+    process_batch_jit's interleave structure by hand; if the two
+    formulations ever drift, the headline benchmark would silently measure
+    a different program than production.  Pin them: for several (B, g)
+    shapes the fence scalar must equal the checksum OF the production
+    outputs."""
+    import jax
+    cfg = MusicaConfig(image_size=256)
+    imgs = np.stack([
+        phantom_256,
+        rng.integers(0, 60000, (256, 256)).astype(np.uint16),
+        phantom_256[::-1, ::-1].copy(),
+        rng.integers(0, 60000, (256, 256)).astype(np.uint16),
+        phantom_256.T.copy(),
+        rng.integers(0, 60000, (256, 256)).astype(np.uint16),
+    ])
+    for B, g in ((4, 4), (6, 4), (3, 2), (4, 1)):
+        xb = jnp.asarray(imgs[:B])
+        fence = int(jax.jit(
+            lambda a, g=g: musica.batch_checksum(a, cfg, interleave=g))(xb))
+        prod = int(np.asarray(musica.process_batch_jit(xb, cfg, interleave=g))
+                   .astype(np.uint32).sum())
+        assert fence == prod, f"B={B} g={g}: fence {fence} != prod {prod}"
+
+
 def test_output_properties(phantom_512):
     cfg = MusicaConfig(image_size=512)
     out = musica.process(phantom_512, cfg)

@@ -70,6 +70,25 @@ def test_spatial_sharding_ragged_sizes(size):
     assert frac < 1e-4, f"{frac:.2e} of pixels differ (expected < 1e-4)"
 
 
+def test_spatial_sharding_bf16_storage():
+    """storage="bfloat16" under GSPMD row sharding (round-4 gap: the new
+    storage mode never ran sharded).  The partitioned program's bf16
+    ladders must track the unpartitioned bf16 batch path with the same
+    contract the bf16 tests pin vs f32: |delta_u8| <= 1 outside isolated
+    knife-edge flips of the getY out-of-curve zero (tests/test_bf16.py)."""
+    cfg = MusicaConfig(image_size=256, storage="bfloat16")
+    imgs = np.stack([synthetic_radiograph(256, "knee"),
+                     synthetic_radiograph(256, "head")])
+    mesh = sharding.make_mesh(n_data=2, n_space=4)
+    out = np.asarray(sharding.process_sharded(jnp.asarray(imgs), cfg, mesh))
+    ref = np.asarray(musica.process_batch_jit(jnp.asarray(imgs), cfg))
+    d = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    knife = d > 32
+    assert float(knife.mean()) <= 1e-3, knife.mean()
+    assert ((d <= 1) | knife).all(), d.max()
+    assert (d > 0).mean() < 0.02
+
+
 def test_throughput_step_runs():
     cfg = MusicaConfig(image_size=128)
     mesh = sharding.make_mesh(n_data=4, n_space=2)
