@@ -82,6 +82,12 @@ PER_CHILD_CAP_S = float(os.environ.get("MUSICA_BENCH_CHILD_CAP", "170"))
 # disables it (every child then runs the full protocol).
 QUICK_CHILD_CAP_S = float(os.environ.get("MUSICA_BENCH_QUICK_CAP", "110"))
 QUICK_FIRST = os.environ.get("MUSICA_BENCH_QUICK_FIRST", "1") != "0"
+# Escalated cap once two capped children have produced NOTHING: on a fresh
+# machine the AOT executable cache is cold and the remote compile alone
+# takes ~2-5 min, so a 170 s cap would kill every child mid-compile.  A
+# hung tunnel loses this one longer attempt too, but the watchdog still
+# guarantees the stale emit within the hard deadline.
+ESCALATED_CAP_S = float(os.environ.get("MUSICA_BENCH_ESCALATED_CAP", "330"))
 
 _T0 = time.time()
 _EMIT_LOCK = threading.Lock()
@@ -282,7 +288,12 @@ def main():
         if results and remaining < MIN_CHILD_WINDOW_S:
             break
         quick = (i == 0 and QUICK_FIRST)
-        cap = QUICK_CHILD_CAP_S if quick else PER_CHILD_CAP_S
+        if quick:
+            cap = QUICK_CHILD_CAP_S
+        elif not results and i >= 2:
+            cap = ESCALATED_CAP_S  # likely cold AOT cache, not a hang
+        else:
+            cap = PER_CHILD_CAP_S
         rec = _run_child(timeout_s=min(cap, max(remaining, 60.0)),
                          quick=quick)
         if rec is not None:

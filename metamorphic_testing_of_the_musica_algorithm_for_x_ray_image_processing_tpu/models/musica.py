@@ -46,89 +46,15 @@ def _effective_interleave(batch: int, g: int) -> int:
     return g
 
 
-def _contrast_apply_rank3(bandpass, sdevs, curve_list, cfg: MusicaConfig):
-    """All analysis levels' contrast applies as ONE rank-3 program.
-
-    The per-level formulation leaves 4 separate mega-fusions whose
-    in-context cost (1.40 ms) far exceeds their standalone sum (0.33 ms,
-    docs/PERFORMANCE.md leave-one-out ablation) -- inter-fusion schedule
-    bubbles.  Here every level is cut into tiles of the smallest analysis
-    level's size (3072: 64+16+4+1 = 85 tiles of 384 square) and the whole
-    apply runs as one [T, t, t] select-chain program; each tile's curve
-    scalars are row-gathered from the stacked per-level curves, so the
-    per-pixel arithmetic -- and therefore the output -- is bit-identical
-    to the per-level path.  Flat 2-point curves (lcf == 1 levels) are
-    padded with zero-width duplicates of their last point, which the
-    sorted-interval chain can never select.
-
-    Returns {level: exp_bandpass} or None when some level is not an exact
-    multiple of the tile size (ragged pyramids where ceil(n/2) breaks
-    divisibility -- the per-level path handles those).
-    """
-    lvls = sorted(sdevs)
-    if not lvls:
-        return None
-    t = bandpass[lvls[-1]].shape[-1]
-    for i in lvls:
-        h, w = bandpass[i].shape[-2:]
-        if h != w or h % t:
-            return None
-
-    npts = max(curve_list[i][0].shape[0] for i in lvls)
-
-    def pad(px, py):
-        k = npts - px.shape[0]
-        if k == 0:
-            return px, py
-        return (jnp.concatenate([px, jnp.broadcast_to(px[-1], (k,))]),
-                jnp.concatenate([py, jnp.broadcast_to(py[-1], (k,))]))
-
-    tiles_b, tiles_s, ids = [], [], []
-    for j, i in enumerate(lvls):
-        n = bandpass[i].shape[-1]
-        k = n // t
-
-        def tile(a, k=k):
-            return a.reshape(k, t, k, t).transpose(0, 2, 1, 3).reshape(-1, t, t)
-
-        tiles_b.append(tile(bandpass[i]))
-        tiles_s.append(tile(sdevs[i]))
-        ids.extend([j] * (k * k))
-    big_b = jnp.concatenate(tiles_b)
-    big_s = jnp.concatenate(tiles_s)
-    idv = jnp.asarray(ids, jnp.int32)  # static tile -> level map
-    padded = [pad(*curve_list[i]) for i in lvls]
-    px_t = jnp.stack([p[0] for p in padded])[idv]
-    py_t = jnp.stack([p[1] for p in padded])[idv]
-    big_out = big_b * curves.curve_get_y_sorted_batched(px_t, py_t, big_s)
-
-    out, off = {}, 0
-    for i in lvls:
-        n = bandpass[i].shape[-1]
-        k = n // t
-        out[i] = (big_out[off:off + k * k]
-                  .reshape(k, k, t, t).transpose(0, 2, 1, 3).reshape(n, n))
-        off += k * k
-    return out
-
-
 def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
                    hist_method: str = "auto",
-                   want_intermediates: bool = False,
-                   apply_method: str = "per_level"):
+                   want_intermediates: bool = False):
     """Full MUSICA pass on one [n, n] uint16 image -> dict of outputs.
 
     Returns at least ``graded`` ([n, n] f32 in [0, 1]) and ``out_u8``
     (margin-cropped uint8).  With ``want_intermediates`` also every stage
     image (the equivalent of the reference's debugProcess dump surface,
     src/vk_processing.cpp:2661-2809).
-
-    ``apply_method="rank3"`` runs the analysis levels' contrast applies as
-    one batched tile program (bit-identical; see _contrast_apply_rank3) --
-    opt-in pending the on-chip A/B (scripts/exp_apply_rank3.py).  In bf16
-    storage mode rank3 silently falls back to the per-level path: the tile
-    gather/scatter would force an extra full-image bf16<->f32 relayout that
-    defeats the mode's HBM purpose, so the bypass is intentional.
     """
     L = cfg.pyramid_levels
     inter: Dict[str, object] = {}
@@ -193,13 +119,9 @@ def musica_forward(img_u16: jnp.ndarray, cfg: MusicaConfig,
     cnr = noise.img_cnr(sdevs[cfg.cnr_level], max_bins[cfg.cnr_level], cfg)
 
     exp_bandpass = []
-    rank3 = (_contrast_apply_rank3(bandpass, sdevs, curve_list, cfg)
-             if apply_method == "rank3" and sd == F32 else None)
     for i in range(L):
         px, py = curve_list[i]
-        if rank3 is not None and i in rank3:
-            eb = rank3[i]
-        elif i in sdevs:
+        if i in sdevs:
             # f32 getY chain (VPU-bound); the bf16 upcast fuses into it
             eb = curves.contrast_curve_apply(bandpass[i].astype(F32),
                                              sdevs[i], px, py)

@@ -229,41 +229,6 @@ def curve_apply_u8_adaptive(px: jnp.ndarray, py: jnp.ndarray,
     return jnp.clip(jnp.trunc(F32(255.0) * g), 0.0, 255.0).astype(jnp.uint8)
 
 
-def curve_get_y_sorted_batched(px: jnp.ndarray, py: jnp.ndarray,
-                               x: jnp.ndarray) -> jnp.ndarray:
-    """``curve_get_y_sorted`` over a BATCH of curves: px/py are [T, n]
-    (one sorted curve per tile), x is [T, ...]; tile t's pixels are looked
-    up in curve t.  The per-interval scalars become [T, 1, ..] broadcasts;
-    the select-chain arithmetic per pixel is identical to the scalar
-    version, so results are bit-identical to applying each tile's curve
-    with ``curve_get_y_sorted`` (tests/test_pipeline.py::
-    test_contrast_apply_rank3_bit_identical).
-
-    Exists for the rank-3 batched contrast apply (models/musica.py::
-    _contrast_apply_rank3): all analysis levels' apply fusions as ONE
-    program over same-shape tiles.
-    """
-    x = x.astype(F32)
-    n = px.shape[-1]
-    exp = (slice(None),) + (None,) * (x.ndim - 1)
-
-    def col(a, i):
-        return a[:, i][exp]
-
-    lt = [col(px, i) < x for i in range(n)]
-    ms = (py[:, 1:] - py[:, :-1]) / (px[:, 1:] - px[:, :-1])
-
-    m_s, px_s, py_s = col(ms, 0), col(px, 0), col(py, 0)
-    for i in range(1, n - 1):
-        m_s = jnp.where(lt[i], col(ms, i), m_s)
-        px_s = jnp.where(lt[i], col(px, i), px_s)
-        py_s = jnp.where(lt[i], col(py, i), py_s)
-    result = m_s * (x - px_s) + py_s
-    result = jnp.where(lt[0], result,
-                       jnp.where(x == col(px, 0), col(py, 0), F32(0.0)))
-    return jnp.where(lt[n - 1], F32(0.0), result)
-
-
 def contrast_curve_apply(bandpass: jnp.ndarray, sdev: jnp.ndarray,
                          px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
     """out = bandpass * curveY(sdev) (shaders/contrast_curve_apply.comp:38-63).

@@ -212,41 +212,3 @@ def test_timed_process_matches_untimed(phantom_256, variant):
         assert extras == {}
 
 
-@pytest.mark.parametrize("size", [512, 600])
-def test_contrast_apply_rank3_bit_identical(size):
-    """apply_method='rank3' (all analysis levels' contrast applies as one
-    batched tile program, models/musica.py::_contrast_apply_rank3) must be
-    bit-identical to the per-level path -- including at 600, whose ragged
-    levels (600/300/150/75) still tile exactly by 75."""
-    import jax
-    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.testing.phantoms import synthetic_radiograph
-
-    img = synthetic_radiograph(size, "pelvis")
-    cfg = MusicaConfig(image_size=size)
-    x = jnp.asarray(img)
-    a = jax.jit(lambda im: musica.musica_forward(im, cfg)["out_u8"])(x)
-    b = jax.jit(lambda im: musica.musica_forward(
-        im, cfg, apply_method="rank3")["out_u8"])(x)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_contrast_apply_rank3_falls_back_when_not_tileable():
-    """A pyramid whose analysis levels don't divide by the smallest one
-    must return None from _contrast_apply_rank3 (per-level path used)."""
-    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.ops import pyramid, stats
-    from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.ops import curves as cv
-
-    # 1000 -> 500 -> 250 -> 125: 1000 % 125 == 0... use 900: 900/450/225/113
-    cfg = MusicaConfig(image_size=900)
-    sizes = [900, 450, 225, 113]
-    assert any(s % sizes[-1] for s in sizes)
-    rng = np.random.default_rng(0)
-    bandpass = {i: jnp.asarray(rng.normal(size=(s, s)).astype(np.float32))
-                for i, s in enumerate(sizes)}
-    sdevs = {i: jnp.asarray(rng.uniform(0, 0.1, (s, s)).astype(np.float32))
-             for i, s in enumerate(sizes)}
-    curve_list = [cv.contrast_curve(jnp.zeros((), jnp.int32),
-                                    *cfg.contrast_factors[i], cfg)
-                  for i in range(4)]
-    assert musica._contrast_apply_rank3(bandpass, sdevs, curve_list,
-                                        cfg) is None
