@@ -44,16 +44,22 @@ from metamorphic_testing_of_the_musica_algorithm_for_x_ray_image_processing_tpu.
 
 
 def main(size: int = 3072, anatomy: str = "thorax",
-         clahe: bool = False, linear: bool = False) -> None:
+         clahe: bool = False, linear: bool = False,
+         bf16: bool = False) -> None:
     cfg = MusicaConfig(image_size=size, enable_clahe=clahe,
-                       grad_with_linear_image=linear)
+                       grad_with_linear_image=linear,
+                       storage="bfloat16" if bf16 else "float32")
     img = synthetic_radiograph(size, anatomy)
     print(f"size={size} anatomy={anatomy} levels={cfg.pyramid_levels} "
-          f"clahe={clahe} linear={linear} "
+          f"clahe={clahe} linear={linear} bf16={bf16} "
           f"backend={jax.devices()[0].platform}")
 
     t0 = time.time()
-    g, g_inter = golden.process(img, cfg, return_intermediates=True)
+    # the golden oracle is the f32-parity model; in bf16 mode the capture
+    # below measures the fast mode's distance to that reference contract
+    # (knife-edge count + inlier PSNR, verdict r4 item 3)
+    g, g_inter = golden.process(img, cfg.with_(storage="float32"),
+                                return_intermediates=True)
     t1 = time.time()
     print(f"golden: {t1 - t0:.1f}s")
 
@@ -78,6 +84,17 @@ def main(size: int = 3072, anatomy: str = "thorax",
 
     out = {"size": size, "anatomy": anatomy, "psnr_db": round(psnr, 1),
            "bit_exact_pct": round(bit_exact * 100, 4), "max_abs_u8": max_abs}
+    if bf16:
+        # the bf16 contract decomposition (tests/test_bf16.py): full-scale
+        # knife flips of the out-of-curve getY zero vs bounded inliers
+        d = np.abs(diff)
+        knife = d > 32
+        inlier = d[~knife].astype(np.float64)
+        imse = float((inlier ** 2).mean())
+        out["knife_edge_pixels"] = int(knife.sum())
+        out["max_inlier_abs"] = int(inlier.max()) if inlier.size else 0
+        out["inlier_psnr_db"] = (None if imse == 0 else
+                                 round(10 * np.log10(255.0 ** 2 / imse), 1))
     if clahe:
         # empty tiles (inside the relevance border) are NaN in BOTH
         # implementations (0/0 CDF, reference-faithful): require identical
@@ -97,7 +114,8 @@ def main(size: int = 3072, anatomy: str = "thorax",
         out["clahe_px_gt_1e1"] = int((cd > 1e-1).sum())
     # size-aware name on EVERY path: a reduced-size smoke run must never
     # clobber the committed full-size artifact
-    variant = ("clahe" if clahe else "") + ("linear" if linear else "")
+    variant = (("clahe" if clahe else "") + ("linear" if linear else "")
+               + ("bf16" if bf16 else ""))
     name = f"stress_golden_{size}{'_' + variant if variant else ''}.json"
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.dirname(
@@ -110,4 +128,5 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     main(*(int(a) if a.isdigit() else a for a in args),
-         clahe="--clahe" in flags, linear="--linear" in flags)
+         clahe="--clahe" in flags, linear="--linear" in flags,
+         bf16="--bf16" in flags)

@@ -110,20 +110,20 @@ def test_batch_checksum_matches_production_batch(phantom_256, rng):
     """The bench fence (models/musica.py::batch_checksum) duplicates
     process_batch_jit's interleave structure by hand; if the two
     formulations ever drift, the headline benchmark would silently measure
-    a different program than production.  Pin them: for several (B, g)
-    shapes the fence scalar must equal the checksum OF the production
-    outputs."""
+    a different program than production.  Pin them: the fence scalar must
+    equal the checksum OF the production outputs on both structural paths
+    (grouped g>1 map body; non-divisible fallback to sequential g=1).
+    128 px: fence semantics are size-independent and each (B, g) costs two
+    batch-program compiles (suite cold budget)."""
     import jax
-    cfg = MusicaConfig(image_size=256)
+    cfg = MusicaConfig(image_size=128)
     imgs = np.stack([
-        phantom_256,
-        rng.integers(0, 60000, (256, 256)).astype(np.uint16),
-        phantom_256[::-1, ::-1].copy(),
-        rng.integers(0, 60000, (256, 256)).astype(np.uint16),
-        phantom_256.T.copy(),
-        rng.integers(0, 60000, (256, 256)).astype(np.uint16),
+        phantom_256[:128, :128],
+        rng.integers(0, 60000, (128, 128)).astype(np.uint16),
+        np.asarray(phantom_256)[::-2, ::-2].copy(),
+        rng.integers(0, 60000, (128, 128)).astype(np.uint16),
     ])
-    for B, g in ((4, 4), (6, 4), (3, 2), (4, 1)):
+    for B, g in ((4, 4), (3, 2)):
         xb = jnp.asarray(imgs[:B])
         fence = int(jax.jit(
             lambda a, g=g: musica.batch_checksum(a, cfg, interleave=g))(xb))
