@@ -82,10 +82,13 @@ PER_CHILD_CAP_S = float(os.environ.get("MUSICA_BENCH_CHILD_CAP", "170"))
 # disables it (every child then runs the full protocol).
 QUICK_CHILD_CAP_S = float(os.environ.get("MUSICA_BENCH_QUICK_CAP", "110"))
 QUICK_FIRST = os.environ.get("MUSICA_BENCH_QUICK_FIRST", "1") != "0"
-# Escalated cap once two capped children have produced NOTHING: on a fresh
-# machine the AOT executable cache is cold and the remote compile alone
-# takes ~2-5 min, so a 170 s cap would kill every child mid-compile.  A
-# hung tunnel loses this one longer attempt too, but the watchdog still
+# Escalated cap as soon as a capped child has produced NOTHING: measured
+# on 2026-08-21, relay session establishment itself can take 2-4+ min in
+# bad windows (children at 110/170 s all died while a 430 s-window child
+# landed a full-protocol sample), and on a fresh machine the cold remote
+# compile alone takes ~2-5 min.  The escalated child stays on the QUICK
+# protocol to maximize the chance a fresh sample lands inside the window;
+# a truly hung tunnel loses this one attempt and the watchdog still
 # guarantees the stale emit within the hard deadline.
 ESCALATED_CAP_S = float(os.environ.get("MUSICA_BENCH_ESCALATED_CAP", "330"))
 
@@ -287,13 +290,15 @@ def main():
             break
         if results and remaining < MIN_CHILD_WINDOW_S:
             break
-        quick = (i == 0 and QUICK_FIRST)
-        if quick:
-            cap = QUICK_CHILD_CAP_S
-        elif not results and i >= 2:
-            cap = ESCALATED_CAP_S  # likely cold AOT cache, not a hang
+        if i == 0:
+            quick = QUICK_FIRST
+            cap = QUICK_CHILD_CAP_S if QUICK_FIRST else PER_CHILD_CAP_S
+        elif not results:
+            # nothing landed yet: slow session establishment or cold AOT
+            # cache -- give one quick-protocol child the big window
+            quick, cap = True, ESCALATED_CAP_S
         else:
-            cap = PER_CHILD_CAP_S
+            quick, cap = False, PER_CHILD_CAP_S
         rec = _run_child(timeout_s=min(cap, max(remaining, 60.0)),
                          quick=quick)
         if rec is not None:
