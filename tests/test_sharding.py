@@ -17,8 +17,11 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
 
 
 def test_data_parallel_matches_single():
-    cfg = MusicaConfig(image_size=256)
-    imgs = np.stack([synthetic_radiograph(256, a)
+    # 128 px: the shard_map/lax.map dp plumbing is size-independent
+    # (1-core cold-suite budget; conv/hist quirks are covered at 256+
+    # by the spatial tests below)
+    cfg = MusicaConfig(image_size=128)
+    imgs = np.stack([synthetic_radiograph(128, a)
                      for a in ("foot", "hand", "head", "knee",
                                "pelvis", "thorax", "foot", "hand")])
     mesh = sharding.make_mesh(n_data=8, n_space=1)
