@@ -93,14 +93,24 @@ def main():
     ap.add_argument("--size", type=int, default=3072)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="trace the production batch-checksum program at "
+                         "this B (g = DEFAULT_INTERLEAVE) instead of the "
+                         "single-image program -- the bench.py steady state")
     ap.add_argument("--keep", default=None,
                     help="keep the trace under this directory")
     args = ap.parse_args()
 
     cfg = MusicaConfig(image_size=args.size)
     img = jnp.asarray(synthetic_radiograph(args.size, "thorax"))
-    f = jax.jit(lambda a: musica.musica_forward(a, cfg)["out_u8"]
-                .astype(jnp.uint32).sum())
+    if args.batch:
+        xb = jnp.stack([img] * args.batch)
+        f = jax.jit(lambda a: musica.batch_checksum(
+            a, cfg, interleave=musica.DEFAULT_INTERLEAVE))
+        img = xb
+    else:
+        f = jax.jit(lambda a: musica.musica_forward(a, cfg)["out_u8"]
+                    .astype(jnp.uint32).sum())
     np.asarray(f(img))  # compile + warm outside the trace
 
     trace_dir = args.keep or tempfile.mkdtemp(prefix="musica_trace_")
