@@ -89,6 +89,33 @@ def test_bench_quick_first_child_skips_batch():
     assert rec["value"] > 0
 
 
+def test_persist_keeps_best_per_code_version(tmp_path, monkeypatch):
+    """A weaker sample of the SAME build must not clobber a better one;
+    any sample of a NEW build replaces old-code records outright."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+
+    def value():
+        with open(bench.LAST_GOOD_PATH) as f:
+            return json.load(f)["value"]
+
+    bench._persist_last_good({"value": 2.5, "code": "aaaa"})
+    assert value() == 2.5
+    bench._persist_last_good({"value": 2.1, "code": "aaaa"})  # weaker, same
+    assert value() == 2.5
+    bench._persist_last_good({"value": 2.7, "code": "aaaa"})  # better, same
+    assert value() == 2.7
+    bench._persist_last_good({"value": 2.0, "code": "bbbb"})  # new build
+    assert value() == 2.0
+    bench._persist_last_good({"value": 1.9, "code": None})  # unknown build
+    assert value() == 1.9
+
+
 def test_bench_last_good_artifact_schema():
     """The persisted artifact must itself be replayable: the keys the stale
     path emits are all present."""
