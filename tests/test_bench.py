@@ -89,6 +89,25 @@ def test_bench_quick_first_child_skips_batch():
     assert rec["value"] > 0
 
 
+def test_bench_escalation_rescues_after_dead_first_child():
+    """The round-5 escalation ladder: when the first (quick) child dies at
+    its cap -- simulated with a 1 s quick cap no child can meet -- the next
+    child gets the escalated window and must land a fresh (un-stale)
+    sample."""
+    p = _run_bench({"MUSICA_BENCH_SAMPLES": "3",
+                    "MUSICA_BENCH_QUICK_CAP": "1",
+                    "MUSICA_BENCH_SIZE": "128"}, timeout=420)
+    assert p.returncode == 0, p.stderr[-800:]
+    assert "produced no result" in p.stderr  # the 1 s quick child died
+    rec = _parse_single_json_line(p.stdout)
+    assert rec.get("stale") is None, rec
+    # best may come from the escalated quick child OR a later full child
+    # that ran once results existed -- either way the dead first child must
+    # not have prevented a fresh sample
+    assert rec["value"] > 0
+    assert rec["samples"] >= 1
+
+
 def test_persist_keeps_best_per_code_version(tmp_path, monkeypatch):
     """A weaker sample of the SAME build must not clobber a better one;
     any sample of a NEW build replaces old-code records outright."""
