@@ -232,7 +232,8 @@ def cmd_campaign(args) -> int:
                  save_images=args.save_images,
                  quirks=not args.no_quirks,
                  transpose=not args.no_transpose,
-                 aot_cache=args.aot_cache)
+                 aot_cache=args.aot_cache,
+                 storage="bfloat16" if args.bf16 else "float32")
     return 0
 
 
@@ -347,6 +348,11 @@ def main(argv=None) -> int:
                    help="load/save the serialized pipeline executable "
                         "(shared with `process --aot-cache`) to skip the "
                         "cold-start compile in fresh campaign processes")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the campaign against the bf16 fast mode "
+                        "(storage=\"bfloat16\") -- measures whether the "
+                        "fast mode preserves the metamorphic robustness "
+                        "profile (see `process --bf16`)")
     p.set_defaults(fn=cmd_campaign)
 
     p = sub.add_parser("slope-analysis",

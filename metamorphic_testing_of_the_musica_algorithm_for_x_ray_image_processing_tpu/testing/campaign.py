@@ -81,7 +81,8 @@ def _measure_row(alt, unalt, ref, ovd):
 
 def default_runner(image_size: int, quirks: bool = True,
                    transpose: bool = True,
-                   aot_cache: bool = False) -> Callable:
+                   aot_cache: bool = False,
+                   storage: str = "float32") -> Callable:
     """In-process system under test: raw array (file layout) -> output u8.
 
     Applies the standalone CLI's transpose on load
@@ -92,10 +93,14 @@ def default_runner(image_size: int, quirks: bool = True,
     (utils/aot_cache.py) under the SAME key as ``cli process --aot-cache``,
     skipping the multi-minute remote compile that otherwise dominates a
     fresh campaign process's cold start.
+
+    ``storage="bfloat16"`` runs the campaign against the bf16 fast mode
+    (cli: ``campaign --bf16``) -- the MT harness then measures whether the
+    fast mode preserves the metamorphic robustness profile.
     """
     from ..models import musica
     import jax.numpy as jnp
-    cfg = MusicaConfig(image_size=image_size, quirks=quirks)
+    cfg = MusicaConfig(image_size=image_size, quirks=quirks, storage=storage)
 
     fwd = None
     if aot_cache:
@@ -146,18 +151,20 @@ def run_campaign(out_dir: str = "mt_out", image_size: int = 3072,
                  save_images: bool = False,
                  quirks: bool = True,
                  transpose: bool = True,
-                 aot_cache: bool = False) -> dict:
+                 aot_cache: bool = False,
+                 storage: str = "float32") -> dict:
     """Run the full campaign; returns {csv_name: rows} and writes the CSVs.
 
-    ``quirks``/``transpose`` configure the default in-process runner (they
-    are ignored when an explicit ``runner`` is passed); ``save_images``
-    mirrors the reference harness, which saves every altered input raw and
-    processed BMP per case (script.py:417-421)."""
+    ``quirks``/``transpose``/``storage`` configure the default in-process
+    runner (they are ignored when an explicit ``runner`` is passed);
+    ``save_images`` mirrors the reference harness, which saves every
+    altered input raw and processed BMP per case (script.py:417-421)."""
     t_start = time.time()
     anatomies = list(anatomies or ANATOMIES)
     runner = runner or default_runner(image_size, quirks=quirks,
                                       transpose=transpose,
-                                      aot_cache=aot_cache)
+                                      aot_cache=aot_cache,
+                                      storage=storage)
     rng = np.random.default_rng(seed)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -111,7 +111,8 @@ def test_cli_campaign_threads_flags(monkeypatch, tmp_path):
                         "run_campaign", fake_run)
     rc = cli.main(["campaign", "--size", "128", "--no-quirks",
                    "--no-transpose", "--seed", "42", "--save-images",
-                   "--aot-cache", "--input-dir", str(tmp_path), "--out-dir",
+                   "--aot-cache", "--bf16", "--input-dir", str(tmp_path),
+                   "--out-dir",
                    str(tmp_path / "o"), "--anatomies", "foot,hand"])
     assert rc == 0
     assert captured["quirks"] is False
@@ -119,6 +120,7 @@ def test_cli_campaign_threads_flags(monkeypatch, tmp_path):
     assert captured["seed"] == 42
     assert captured["save_images"] is True
     assert captured["aot_cache"] is True
+    assert captured["storage"] == "bfloat16"
     assert captured["input_dir"] == str(tmp_path)
     assert captured["anatomies"] == ["foot", "hand"]
     assert captured["image_size"] == 128
@@ -159,3 +161,17 @@ def test_default_runner_honors_quirks_and_transpose():
 
     assert not np.array_equal(out_q, out_nq), "--no-quirks had no effect"
     assert not np.array_equal(out_q, out_nt), "--no-transpose had no effect"
+
+
+def test_default_runner_bf16_storage_runs():
+    """storage="bfloat16" must reach the pipeline config (campaign --bf16)
+    and produce output in the bf16 contract class vs the f32 runner."""
+    size = 256
+    raw = synthetic_radiograph(size, "thorax")
+    o32 = campaign.default_runner(size)(raw).astype(np.int32)
+    o16 = campaign.default_runner(size, storage="bfloat16")(raw).astype(
+        np.int32)
+    d = np.abs(o32 - o16)
+    knife = d > 32
+    assert float(knife.mean()) <= 1e-3
+    assert ((d <= 1) | knife).all()
