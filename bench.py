@@ -328,6 +328,12 @@ def main():
     if results:
         best = max(results, key=lambda r: r["value"])
         best["samples"] = len(results)
+        # per-path bests across ALL landed sessions (the winning child may
+        # be a quick single-image sample with no batch leg)
+        best["best_single_gpix"] = max(
+            r.get("single_image_gpix", 0.0) for r in results)
+        best["best_batch_gpix"] = max(
+            r.get("batch_gpix", 0.0) for r in results)
         # persist only headline-config device measurements: a CPU-backend
         # or reduced-size test run must not clobber the real last-good
         if best.get("size") == 3072 and best.get("platform") != "cpu":
