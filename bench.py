@@ -300,18 +300,34 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    results = []
+    # A fresh sample counts as CREDIBLE only when it is within reach of the
+    # best persisted capture of the SAME build (>= half); relay sessions
+    # occasionally run 3-4x slow (far outside the documented +/-15% band),
+    # and such a session must neither stop the sampling loop early nor be
+    # the round's headline without context.
+    last = _load_last_good()
+
+    def _credible(rec):
+        if rec.get("size") != 3072 or rec.get("platform") == "cpu":
+            return True  # non-headline configs have no comparable record
+        if (last is None or "value" not in last
+                or last.get("code") != rec.get("code")
+                or rec.get("code") is None):
+            return True
+        return rec["value"] >= 0.5 * last["value"]
+
+    results, good = [], []
     for i in range(MAX_SAMPLES):
         remaining = _remaining()
         if remaining <= 30:
             break
-        if results and remaining < MIN_CHILD_WINDOW_S:
+        if good and remaining < MIN_CHILD_WINDOW_S:
             break
         if i == 0:
             quick = QUICK_FIRST
             cap = QUICK_CHILD_CAP_S if QUICK_FIRST else PER_CHILD_CAP_S
-        elif not results:
-            # nothing landed yet: slow session establishment or cold AOT
+        elif not good:
+            # nothing credible yet: slow session establishment or cold AOT
             # cache -- give one quick-protocol child the big window
             quick, cap = True, ESCALATED_CAP_S
         else:
@@ -320,6 +336,13 @@ def main():
                          quick=quick)
         if rec is not None:
             results.append(rec)
+            if _credible(rec):
+                good.append(rec)
+            else:
+                print(f"bench: sample {rec['value']} GPix/s is < 50% of "
+                      f"last-good {last['value']} for this build "
+                      "(pathologically slow session); continuing",
+                      file=sys.stderr)
         else:
             print("bench: sample child produced no result "
                   f"(t={time.time() - _T0:.0f}s, quick={quick})",
@@ -334,6 +357,13 @@ def main():
             r.get("single_image_gpix", 0.0) for r in results)
         best["best_batch_gpix"] = max(
             r.get("batch_gpix", 0.0) for r in results)
+        if not _credible(best):
+            # honest fresh number, but flag the pathological session and
+            # carry the best persisted capture of the same build as context
+            best["suspect_slow_session"] = True
+            best["last_good_gpix"] = last["value"]
+            best["last_good_measured_at"] = last.get("measured_at",
+                                                     "unknown")
         # persist only headline-config device measurements: a CPU-backend
         # or reduced-size test run must not clobber the real last-good
         if best.get("size") == 3072 and best.get("platform") != "cpu":
