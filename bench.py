@@ -233,12 +233,15 @@ def measure() -> dict:
     def plausible(g):
         return g if g <= max_gpix else 0.0
 
+    # NOTE: quick children use the SAME k=25/reps=6 estimator -- the timing
+    # loops cost ~1 s (the child's budget goes to session establishment and
+    # AOT load, not timing), and a reduced k=12/reps=3 estimator produced
+    # the 9.2 GPix/s variance artifact.  "quick" only skips the batch leg.
     f = cached_compile(
         lambda a: (musica.musica_forward(a, cfg)["out_u8"]
                    .astype(jnp.uint32).sum()),
         key_parts=("bench", cfg), example_args=(x,))
-    single_s = marginal_s(f, (x,), k=12 if quick else 25,
-                          reps=3 if quick else 6)
+    single_s = marginal_s(f, (x,), k=25)
     gpix_single = plausible(size * size / single_s / 1e9)
 
     # Sustained throughput: the production batch path
